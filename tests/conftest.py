@@ -1,0 +1,22 @@
+"""Test harness: run JAX on a virtual 8-device CPU mesh.
+
+This is the TPU-substitute for distributed tests (SURVEY.md section 4): every
+multi-device test sees 8 XLA host devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,274 @@
+"""Hyper-parameter trees for VAENAR-TTS TPU.
+
+Frozen dataclasses (hashable, so they can ride along as static jit arguments)
+replacing the reference's nested-class config trees
+(reference: configs/hparams.py:233-474). Two presets with behavior parity:
+``LJSpeechConfig`` (reference LJHPS, hparams.py:233) and ``DataBakerConfig``
+(reference DataBakerHPS, hparams.py:351). Knob names match the reference where
+sensible so a user of the reference finds the same dials.
+
+TPU-specific additions (no reference counterpart):
+  * ``TrainConfig.use_pallas_attention`` - fused Pallas attention kernel switch
+  * ``TrainConfig.compute_dtype`` - bf16/fp32 matmul policy for the transformer
+    stacks (the flow prior always runs fp32: slogdet / matrix inverse)
+  * ``DatasetConfig.mel_bucket / text_bucket`` - static-shape length bucketing
+    (replaces TF dynamic padded_batch, reference tf_record_utils.py:136-138)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # reference: hparams.py:234-251
+    random_seed: int = 123456
+    epochs: int = 2000
+    warm_epochs: int = 0
+    train_batch_size: int = 32
+    test_batch_size: int = 8
+    test_interval: int = 50
+    shuffle: bool = True
+    num_samples: int = 1
+    length_weight: float = 1.0
+    kl_weight: float = 1.0
+    kl_weight_init: float = 1e-5
+    kl_weight_increase_epoch: int = 1
+    kl_weight_end: float = 1e-5
+    learning_rate: float = 1.25e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-7
+    reduction_factors: Tuple[int, ...] = (5, 4, 3, 2)
+    reduce_interval: Tuple[int, ...] = (0, 200, 400, 600)
+    # TPU-native knobs (new)
+    use_pallas_attention: bool = True
+    compute_dtype: str = "bfloat16"  # transformer matmul dtype; flow stays fp32
+    checkpoint_max_to_keep: int = 20
+    checkpoint_keep_every_n_hours: float = 4.0
+
+    def kl_weight_at(self, epoch: int) -> float:
+        """KL-anneal schedule (reference train.py:229-233, :270)."""
+        step = (self.kl_weight_end - self.kl_weight_init) / self.kl_weight_increase_epoch
+        if epoch <= self.kl_weight_increase_epoch:
+            return self.kl_weight_init + step * epoch
+        return self.kl_weight_end
+
+    def reduction_factor_at(self, epoch: int) -> int:
+        """Reduction-factor curriculum (reference train.py:236-243)."""
+        i = 0
+        while i < len(self.reduce_interval) and self.reduce_interval[i] <= epoch:
+            i += 1
+        i = i - 1 if i > 0 else 0
+        return self.reduction_factors[i]
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    # reference: hparams.py:253-258
+    record_split: int = 8
+    dev_set_rate: float = 0.01
+    test_set_rate: float = 0.01
+    # static-shape bucketing (TPU-native; replaces dynamic padded_batch)
+    mel_bucket: int = 120  # multiple of lcm(2,3,4,5)=60 so every r divides it
+    text_bucket: int = 32
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    # reference: hparams.py:260-264
+    pad: str = "_"
+    bos: str = "^"
+    eos: str = "~"
+    characters: str = "_^~abcdefghijklmnopqrstuvwxyz!'\"(),-.:;? []"
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    # reference: hparams.py:266-282
+    num_mels: int = 80
+    num_freq: int = 1025
+    min_mel_freq: float = 0.0
+    max_mel_freq: float = 8000.0
+    sample_rate: int = 22050
+    frame_length_sample: int = 1024
+    frame_shift_sample: int = 256
+    n_mfcc: int = 13
+    preemphasize: float = 0.97
+    min_level_db: float = -100.0
+    ref_level_db: float = 20.0
+    max_abs_value: float = 1.0
+    symmetric_specs: bool = False
+    griffin_lim_iters: int = 60
+    power: float = 1.5
+    center: bool = True
+
+    @property
+    def n_fft(self) -> int:
+        # reference audio/audio.py:153-159
+        return (self.num_freq - 1) * 2
+
+
+@dataclass(frozen=True)
+class CommonConfig:
+    # reference: hparams.py:284-289
+    latent_dim: int = 128
+    output_dim: int = 80
+    final_reduction_factor: int = 2
+    max_reduction_factor: int = 5
+    mel_text_len_ratio: float = 5.59
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    # reference: hparams.py:291-306 (Encoder.Transformer)
+    vocab_size: int = 43
+    embd_dim: int = 512
+    n_conv: int = 3
+    pre_hidden: int = 512
+    conv_kernel: int = 5
+    pre_activation: str = "relu"
+    pre_drop_rate: float = 0.1
+    pos_drop_rate: float = 0.1
+    bn_before_act: bool = False
+    n_blk: int = 4
+    attention_dim: int = 256
+    attention_heads: int = 4
+    attention_temperature: float = 1.0
+    ffn_hidden: int = 1024
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    # reference: hparams.py:308-321 (Decoder.Transformer)
+    nblk: int = 2
+    attention_dim: int = 256
+    attention_heads: int = 4
+    attention_temperature: float = 1.0
+    ffn_hidden: int = 1024
+    post_n_conv: int = 5
+    post_conv_filters: int = 256
+    post_conv_kernel: int = 5
+    post_drop_rate: float = 0.2
+
+
+@dataclass(frozen=True)
+class PosteriorConfig:
+    # reference: hparams.py:323-334 (Posterior.Transformer)
+    pre_hidden: int = 256
+    pos_drop_rate: float = 0.2
+    pre_drop_rate: float = 0.5
+    pre_activation: str = "relu"
+    nblk: int = 2
+    attention_dim: int = 256
+    attention_heads: int = 4
+    temperature: float = 1.0
+    ffn_hidden: int = 1024
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    # reference: hparams.py:336-344 (Prior.Transformer)
+    n_blk: int = 6
+    n_transformer_blk: int = 2
+    attention_dim: int = 256
+    attention_heads: int = 4
+    temperature: float = 1.0
+    ffn_hidden: int = 1024
+    inverse: bool = False
+
+
+@dataclass(frozen=True)
+class LengthPredictorConfig:
+    # reference: hparams.py:346-348 (LengthPredictor.Dense)
+    activation: str = "identity"
+
+
+@dataclass(frozen=True)
+class HParams:
+    """Root config tree; one instance per dataset preset."""
+
+    name: str = "ljspeech"
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    common: CommonConfig = field(default_factory=CommonConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    posterior: PosteriorConfig = field(default_factory=PosteriorConfig)
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    length_predictor: LengthPredictorConfig = field(default_factory=LengthPredictorConfig)
+
+    def replace(self, **kwargs) -> "HParams":
+        return dataclasses.replace(self, **kwargs)
+
+
+def LJSpeechConfig() -> HParams:
+    """LJSpeech preset (reference LJHPS, hparams.py:233-348)."""
+    return HParams(name="ljspeech")
+
+
+def DataBakerConfig() -> HParams:
+    """DataBaker Mandarin preset (reference DataBakerHPS, hparams.py:351-474)."""
+    return HParams(
+        name="databaker",
+        train=TrainConfig(random_seed=12),
+        text=TextConfig(characters="_^~abcdefghijklmnopqrstuvwxyz12345,./- "),
+        audio=AudioConfig(
+            sample_rate=16000,
+            frame_length_sample=800,
+            frame_shift_sample=200,
+            min_level_db=-115.0,
+        ),
+        common=CommonConfig(mel_text_len_ratio=4.21),
+        encoder=EncoderConfig(vocab_size=39),
+    )
+
+
+_PRESETS = {
+    "ljspeech": LJSpeechConfig,
+    "databaker": DataBakerConfig,
+}
+
+
+def get_config(name: str, **overrides) -> HParams:
+    """Look up a preset by CLI name (reference train.py:50) with overrides."""
+    if name not in _PRESETS:
+        raise KeyError(f"unknown dataset preset {name!r}; choices: {sorted(_PRESETS)}")
+    hp = _PRESETS[name]()
+    return hp.replace(**overrides) if overrides else hp
+
+
+def tiny_test_config(vocab_size: int = 43) -> HParams:
+    """A miniature config for fast unit/integration tests (no reference analog)."""
+    return HParams(
+        name="tiny",
+        train=TrainConfig(
+            train_batch_size=2,
+            test_batch_size=2,
+            compute_dtype="float32",
+            use_pallas_attention=False,
+        ),
+        encoder=EncoderConfig(
+            vocab_size=vocab_size, embd_dim=32, n_conv=2, pre_hidden=32,
+            conv_kernel=3, n_blk=2, attention_dim=16, attention_heads=2,
+            ffn_hidden=32,
+        ),
+        decoder=DecoderConfig(
+            nblk=1, attention_dim=16, attention_heads=2, ffn_hidden=32,
+            post_n_conv=2, post_conv_filters=16, post_conv_kernel=3,
+        ),
+        posterior=PosteriorConfig(
+            pre_hidden=16, nblk=1, attention_dim=16, attention_heads=2,
+            ffn_hidden=32,
+        ),
+        prior=PriorConfig(
+            n_blk=2, n_transformer_blk=1, attention_dim=16, attention_heads=2,
+            ffn_hidden=32,
+        ),
+        common=CommonConfig(latent_dim=8, output_dim=80),
+    )
