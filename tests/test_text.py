@@ -49,14 +49,18 @@ class TestNumbers:
         assert normalize_numbers("3000 men") == "three thousand men"
 
     def test_currency(self):
-        assert normalize_numbers("$1.50") == "1 dollar, 50 cents"
-        assert normalize_numbers("$5") == "5 dollars"
-        assert normalize_numbers("$0.25") == "25 cents"
-        assert normalize_numbers("£20") == "20 pounds"
+        # digits from the currency pass are themselves expanded by the
+        # later number pass, as in the reference pipeline (texts.py:135-142)
+        assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+        assert normalize_numbers("$5") == "five dollars"
+        assert normalize_numbers("$0.25") == "twenty-five cents"
+        assert normalize_numbers("£20") == "twenty pounds"
 
     def test_decimals_and_commas(self):
-        assert normalize_numbers("1,234 things") == (
-            "one thousand two hundred thirty-four things")
+        # comma-stripped 1234 lands in the 1001..2999 year-style branch,
+        # exactly as the reference's inflect(group=2) call renders it
+        assert normalize_numbers("1,234 things") == "twelve thirty-four things"
+        assert normalize_numbers("5,000 men") == "five thousand men"
         assert normalize_numbers("3.14") == "three point fourteen"
 
     def test_ordinal_suffix_in_text(self):
@@ -74,7 +78,7 @@ class TestCleaners:
 
     def test_currency_sentence(self):
         assert english_cleaners("It costs $1.50 today") == (
-            "it costs 1 dollar, 50 cents today")
+            "it costs one dollar, fifty cents today")
 
     def test_unicode_punctuation(self):
         assert english_cleaners("“quoted” — dash") == '"quoted" - dash'
