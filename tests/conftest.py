@@ -6,12 +6,23 @@ multi-device test sees 8 XLA host devices.
 
 import os
 
+# NOTE: JAX_PLATFORMS is ignored when the axon TPU plugin is present;
+# JAX_PLATFORM_NAME does force the CPU backend.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# Works even if jax was imported earlier, as long as no backend is live yet.
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,129 @@
+"""Data pipeline tests: record shard round-trip, bucketed loader static
+shapes, seeded shuffle determinism, sharded (multi-host) iteration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vaenar_tts_tpu.data import (
+    BucketedLoader,
+    RecordShardReader,
+    RecordShardWriter,
+    RecordWriter,
+    list_shards,
+    pad_to_multiple,
+)
+
+
+def make_corpus_dir(tmp_path, n=20, num_mels=80, seed=0):
+    """Build a fake extracted-features directory (texts/, mels/, lists)."""
+    rng = np.random.default_rng(seed)
+    (tmp_path / "texts").mkdir()
+    (tmp_path / "mels").mkdir()
+    fids = [f"utt{i:04d}" for i in range(n)]
+    for i, fid in enumerate(fids):
+        tl = int(rng.integers(5, 40))
+        ml = int(rng.integers(30, 400))
+        np.save(tmp_path / "texts" / f"{fid}.npy",
+                rng.integers(0, 43, tl).astype(np.int32))
+        np.save(tmp_path / "mels" / f"{fid}.npy",
+                rng.standard_normal((ml, num_mels)).astype(np.float32))
+    ntrain = n - 4
+    (tmp_path / "train.txt").write_text("\n".join(fids[:ntrain]) + "\n")
+    (tmp_path / "dev.txt").write_text("\n".join(fids[ntrain:ntrain + 2]) + "\n")
+    (tmp_path / "test.txt").write_text("\n".join(fids[ntrain + 2:]) + "\n")
+    return fids
+
+
+class TestRecords:
+    def test_shard_roundtrip(self, tmp_path, rng):
+        path = str(tmp_path / "test-0.vrs")
+        w = RecordShardWriter(path, num_mels=8)
+        texts = [rng.integers(0, 43, n).astype(np.int32) for n in (5, 9, 3)]
+        mels = [rng.standard_normal((n, 8)).astype(np.float32)
+                for n in (50, 31, 77)]
+        for i, (t, m) in enumerate(zip(texts, mels)):
+            w.add(f"utt{i}", t, m)
+        w.close()
+        r = RecordShardReader(path)
+        assert len(r) == 3
+        for i in range(3):
+            u = r.get(i)
+            assert u.fid == f"utt{i}"
+            np.testing.assert_array_equal(u.text, texts[i])
+            np.testing.assert_allclose(u.mel, mels[i])
+
+    def test_writer_splits_train(self, tmp_path):
+        make_corpus_dir(tmp_path, n=20)
+        save = tmp_path / "records"
+        w = RecordWriter(str(tmp_path), str(save), train_split=4, num_mels=80)
+        paths = w.write_all()
+        assert len(paths["train"]) == 4
+        assert len(paths["dev"]) == 1
+        assert len(list_shards(str(save), "train")) == 4
+        # all 16 train utterances present across shards, round-robin
+        total = sum(len(RecordShardReader(p)) for p in paths["train"])
+        assert total == 16
+
+
+class TestLoader:
+    @pytest.fixture
+    def shards(self, tmp_path):
+        make_corpus_dir(tmp_path, n=30)
+        save = tmp_path / "records"
+        w = RecordWriter(str(tmp_path), str(save), train_split=2, num_mels=80)
+        w.write_all()
+        return list_shards(str(save), "train")
+
+    def test_static_bucket_shapes(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, mel_bucket=120,
+                                text_bucket=32, seed=1)
+        for b in loader.epoch(0):
+            assert b.texts.shape[0] == 4
+            assert b.texts.shape[1] % 32 == 0
+            assert b.mels.shape[1] % 120 == 0
+            assert b.mels.shape[1] >= b.mel_lengths.max()
+            # mel padded region must be zero
+            for i in range(b.n_valid):
+                assert np.all(b.mels[i, b.mel_lengths[i]:] == 0)
+
+    def test_seeded_shuffle_deterministic(self, shards):
+        l1 = BucketedLoader(shards, batch_size=4, seed=7)
+        l2 = BucketedLoader(shards, batch_size=4, seed=7)
+        fids1 = [b.fids for b in l1.epoch(3)]
+        fids2 = [b.fids for b in l2.epoch(3)]
+        assert fids1 == fids2
+        fids_other_epoch = [b.fids for b in l1.epoch(4)]
+        assert fids1 != fids_other_epoch  # reshuffled across epochs
+
+    def test_covers_all_utterances(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, seed=0)
+        seen = set()
+        for b in loader.epoch(0):
+            seen.update(b.fids[:b.n_valid])
+        assert len(seen) == loader.num_utterances
+
+    def test_multihost_sharding_partitions_batches(self, shards):
+        full = BucketedLoader(shards, batch_size=4, seed=5, drop_last=True)
+        parts = [BucketedLoader(shards, batch_size=4, seed=5, drop_last=True,
+                                shard_index=i, shard_count=2)
+                 for i in range(2)]
+        all_batches = sorted(tuple(b.fids) for b in full.epoch(1))
+        part_batches = sorted(
+            tuple(b.fids) for p in parts for b in p.epoch(1))
+        assert all_batches == part_batches  # disjoint + complete
+        assert abs(len(parts[0]) - len(parts[1])) <= 1
+
+    def test_shape_census_small(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, seed=0)
+        census = loader.shape_census()
+        assert sum(census.values()) == len(loader)
+        # sorted-by-length bucketing keeps distinct shapes low
+        assert len(census) <= 6
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(1, 120) == 120
+    assert pad_to_multiple(120, 120) == 120
+    assert pad_to_multiple(121, 120) == 240

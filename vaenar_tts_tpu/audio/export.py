@@ -1,0 +1,126 @@
+"""Test/eval artifact emitters (reference audio/utils.py:10-116, TestUtils):
+trimmed mel .npy files, threaded Griffin-Lim wav synthesis, mel-spectrogram
+plots, and per-attention-block multi-head alignment plots.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..configs.hparams import HParams
+from ..text.tokenizer import CharTokenizer
+from .dsp import AudioProcessor
+
+
+def _agg_matplotlib():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+class TestUtils:
+    def __init__(self, hps: HParams, save_dir: Optional[str]):
+        self.hps = hps
+        self.save_dir = save_dir
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+        self.audio = AudioProcessor(hps.audio)
+        self.tokenizer = CharTokenizer(hps.text)
+
+    # -- mels (reference audio/utils.py:16-22) --------------------------------
+
+    def write_mels(self, tag, mel_batch: np.ndarray, mel_lengths, ids,
+                   prefix: str = "") -> List[str]:
+        paths = []
+        for i, mel in enumerate(mel_batch):
+            trimmed = mel[: int(mel_lengths[i])]
+            name = f"{prefix}-{tag}-{_fid(ids[i])}.npy"
+            path = os.path.join(self.save_dir, name)
+            np.save(path, trimmed)
+            paths.append(path)
+        return paths
+
+    # -- wavs (reference audio/utils.py:24-40, threaded) ----------------------
+
+    def synthesize_and_save_wavs(self, tag, mel_batch: np.ndarray,
+                                 mel_lengths, ids, prefix: str = "",
+                                 seed: int = 0) -> List[str]:
+        paths = []
+
+        def synth(i):
+            mel = mel_batch[i][: int(mel_lengths[i])]
+            rng = np.random.default_rng(seed + i)
+            wav = self.audio.inv_mel_spectrogram(mel.T, rng)
+            wav = self.audio.inv_preemphasize(wav)
+            name = f"{prefix}-{tag}-{_fid(ids[i])}.wav"
+            path = os.path.join(self.save_dir, name)
+            self.audio.save_wav(np.asarray(wav), path)
+            return path
+
+        with ThreadPoolExecutor(max_workers=min(8, len(mel_batch) or 1)) as ex:
+            paths = list(ex.map(synth, range(len(mel_batch))))
+        return paths
+
+    # -- plots (reference audio/utils.py:50-116) -------------------------------
+
+    def draw_melspectrograms(self, tag, mel_batch: np.ndarray, mel_lengths,
+                             ids, prefix: str = "") -> List[str]:
+        plt = _agg_matplotlib()
+        paths = []
+        for i, mel in enumerate(mel_batch):
+            trimmed = mel[: int(mel_lengths[i])]
+            fig = plt.figure(figsize=(10, 4))
+            plt.imshow(trimmed.T, aspect="auto", origin="lower",
+                       interpolation="none")
+            plt.colorbar()
+            plt.tight_layout()
+            name = f"{prefix}-{tag}-{_fid(ids[i])}-mel.pdf"
+            path = os.path.join(self.save_dir, name)
+            fig.savefig(path)
+            plt.close(fig)
+            paths.append(path)
+        return paths
+
+    def ids_to_text(self, token_ids: Sequence[int]) -> str:
+        # reference audio/utils.py:62-70
+        return self.tokenizer.decode(token_ids, strip_specials=False)
+
+    def multi_draw_attention_alignments(self, alignments: np.ndarray, texts,
+                                        text_lengths, mel_lengths, tag, ids,
+                                        prefix: str = "") -> List[str]:
+        """alignments: [batch, heads, q_time, m_time] -> one grid PDF per
+        utterance (reference audio/utils.py:72-116)."""
+        plt = _agg_matplotlib()
+        paths = []
+        n_heads = alignments.shape[1]
+        rows = max(1, n_heads // 2)
+        cols = 2 if n_heads > 1 else 1
+        for i in range(alignments.shape[0]):
+            tl = int(text_lengths[i])
+            ml = int(mel_lengths[i])
+            fig, axes = plt.subplots(rows, cols,
+                                     figsize=(4 * cols, 3 * rows),
+                                     squeeze=False)
+            for h in range(n_heads):
+                ax = axes[h // cols][h % cols]
+                ax.imshow(alignments[i, h, :ml, :tl].T, aspect="auto",
+                          origin="lower", interpolation="none")
+                ax.set_title(f"head {h}")
+            plt.tight_layout()
+            name = f"{prefix}-{tag}-{_fid(ids[i])}-ali.pdf"
+            path = os.path.join(self.save_dir, name)
+            fig.savefig(path)
+            plt.close(fig)
+            paths.append(path)
+        return paths
+
+
+def _fid(x) -> str:
+    if isinstance(x, bytes):
+        return x.decode("utf-8")
+    return str(x)

@@ -1,0 +1,142 @@
+"""Bucketed, padded, seeded-shuffle batch loader with static shapes.
+
+Replaces the reference's tf.data pipeline (tf_record_utils.py:126-142:
+parse -> padded_batch -> batch-level shuffle -> prefetch). TPU-idiomatic
+changes:
+
+  * Batches are formed from LENGTH-SORTED utterances, then the batch order is
+    shuffled per epoch with a seeded RNG - the same "shuffle after batching"
+    contract as the reference (:139-140) with far less padding waste.
+  * Every batch is padded to STATIC shapes: mel time to a multiple of
+    ``mel_bucket`` (120, divisible by every reduction factor 2..5) and text to
+    a multiple of ``text_bucket`` - so jit sees a small, fixed set of shapes.
+  * Multi-host / data-parallel sharding: ``shard_index/shard_count`` slice the
+    batch list round-robin (the affordance the reference left vestigial in
+    datasets.py:179-192).
+
+Host-side numpy only; device put happens in the training loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .records import RecordShardReader
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclasses.dataclass
+class Batch:
+    fids: List[str]
+    texts: np.ndarray  # int32 [batch, text_max]
+    mels: np.ndarray  # float32 [batch, mel_max, num_mels]
+    text_lengths: np.ndarray  # int32 [batch]
+    mel_lengths: np.ndarray  # int32 [batch]
+    n_valid: int  # entries beyond this are repeat-padding
+
+    @property
+    def shape_key(self) -> Tuple[int, int]:
+        return (self.texts.shape[1], self.mels.shape[1])
+
+
+class BucketedLoader:
+    def __init__(self, shard_paths: Sequence[str], batch_size: int,
+                 mel_bucket: int = 120, text_bucket: int = 32,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False, pad_batch: bool = True,
+                 shard_index: int = 0, shard_count: int = 1,
+                 mel_len_cap: Optional[int] = None):
+        self.readers = [RecordShardReader(p) for p in shard_paths]
+        self.batch_size = batch_size
+        self.mel_bucket = mel_bucket
+        self.text_bucket = text_bucket
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_batch = pad_batch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+
+        # global index: (reader_idx, local_idx), sorted by mel length so each
+        # batch has near-uniform lengths (minimal padding)
+        entries = []
+        for ri, r in enumerate(self.readers):
+            for li in range(len(r)):
+                ml = int(r.mel_lens[li])
+                if mel_len_cap is not None and ml > mel_len_cap:
+                    continue
+                entries.append((ml, int(r.text_lens[li]), ri, li))
+        entries.sort()
+        self._entries = entries
+        self.num_mels = self.readers[0].num_mels if self.readers else 0
+
+    def __len__(self) -> int:
+        n_batches = len(self._entries) // self.batch_size
+        if not self.drop_last and len(self._entries) % self.batch_size:
+            n_batches += 1
+        # round-robin shard slice
+        return len(range(self.shard_index, n_batches, self.shard_count))
+
+    @property
+    def num_utterances(self) -> int:
+        return len(self._entries)
+
+    def _make_batch(self, idxs: Sequence[Tuple[int, int, int, int]]) -> Batch:
+        n_valid = len(idxs)
+        utts = [self.readers[ri].get(li) for (_, _, ri, li) in idxs]
+        if self.pad_batch and n_valid < self.batch_size:
+            utts = utts + [utts[-1]] * (self.batch_size - n_valid)
+        text_max = pad_to_multiple(max(u.text_len for u in utts),
+                                   self.text_bucket)
+        mel_max = pad_to_multiple(max(u.mel_len for u in utts), self.mel_bucket)
+        B = len(utts)
+        texts = np.zeros((B, text_max), np.int32)
+        mels = np.zeros((B, mel_max, self.num_mels), np.float32)
+        t_lens = np.zeros((B,), np.int32)
+        m_lens = np.zeros((B,), np.int32)
+        fids = []
+        for i, u in enumerate(utts):
+            texts[i, :u.text_len] = u.text
+            mels[i, :u.mel_len] = u.mel
+            t_lens[i] = u.text_len
+            m_lens[i] = u.mel_len
+            fids.append(u.fid)
+        return Batch(fids, texts, mels, t_lens, m_lens, n_valid)
+
+    def epoch(self, epoch_index: int = 0) -> Iterator[Batch]:
+        """Iterate one epoch; batch ORDER is shuffled with seed+epoch
+        (reference shuffles at batch level with a fixed seed,
+        tf_record_utils.py:139-140)."""
+        groups = [self._entries[i:i + self.batch_size]
+                  for i in range(0, len(self._entries), self.batch_size)]
+        if self.drop_last and groups and len(groups[-1]) < self.batch_size:
+            groups.pop()
+        order = np.arange(len(groups))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_index).shuffle(order)
+        order = order[self.shard_index::self.shard_count]
+        for gi in order:
+            yield self._make_batch(groups[gi])
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.epoch(0)
+
+    def shape_census(self) -> dict:
+        """Distinct static (text_max, mel_max) shapes this loader will emit -
+        i.e. the jit recompile budget."""
+        shapes = {}
+        groups = [self._entries[i:i + self.batch_size]
+                  for i in range(0, len(self._entries), self.batch_size)]
+        if self.drop_last and groups and len(groups[-1]) < self.batch_size:
+            groups.pop()
+        for g in groups:
+            tm = pad_to_multiple(max(t for (_, t, _, _) in g), self.text_bucket)
+            mm = pad_to_multiple(max(m for (m, _, _, _) in g), self.mel_bucket)
+            shapes[(tm, mm)] = shapes.get((tm, mm), 0) + 1
+        return shapes

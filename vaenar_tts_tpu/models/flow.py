@@ -1,0 +1,211 @@
+"""Normalizing-flow layers for the Glow-style prior.
+
+Behavior parity with reference modules/flow.py:
+  * ActNorm           (:156-196): per-channel scale/bias with data-dependent
+    init from the first batch's mean/std.
+  * InvertibleLinear  (:116-153): QR-initialized square weight; the backward
+    pass multiplies by the inverse; logdet = lengths * slogdet(W).
+  * TransformerCoupling (:199-262): split channels in half (alternating
+    upper/lower order), text-conditioned transformer predicts scale/shift,
+    scale = sigmoid(log_scale + 2.0), masked logdet.
+  * TransformerTransform <- reference modules/transform.py:30-59: the
+    conditioning net inside each coupling (pre-proj -> pos-enc -> N cross-
+    attention blocks over text memory -> zero-init scale/shift heads).
+
+All flow math is fp32: slogdet / inverse / log-prob accumulation are
+precision-critical (SURVEY.md section 7 hard part #2). TPUs have no fp64, so
+slogdet runs fp32 where the reference upcast to fp64 - the weight is
+orthogonal at init and stays well-conditioned, keeping fp32 slogdet accurate.
+
+Data-dependent ActNorm init is a *pure* pass (SURVEY hard part #3): run with
+``data_init=True`` and a mutable 'flow_init' collection; the computed
+log_scale/bias are sowed and merged into params by
+``vaenar_tts_tpu.models.vaenar.merge_flow_init``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import CrossAttentionBlock
+from .layers import positional_encoding, sequence_mask
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _length_logdet(logdet_scalar: jnp.ndarray, lengths: Optional[jnp.ndarray],
+                   batch: int, max_time: int) -> jnp.ndarray:
+    """Per-example logdet = lengths * per-frame logdet
+    (reference flow.py:130-134)."""
+    if lengths is None:
+        return jnp.full((batch,), float(max_time)) * logdet_scalar
+    return lengths.astype(jnp.float32) * logdet_scalar
+
+
+def _keep_last(_prev, new):
+    return new
+
+
+class ActNorm(nn.Module):
+    """Per-channel affine y = x * exp(log_scale) + bias
+    (reference flow.py:156-196)."""
+
+    channels: int
+
+    def setup(self):
+        self.log_scale = self.param(
+            "log_scale", nn.initializers.normal(stddev=0.05), (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
+    def __call__(self, x, lengths=None, reverse: bool = False,
+                 data_init: bool = False, init_scale: float = 1.0,
+                 epsilon: float = 1e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        batch, max_time = x.shape[0], x.shape[1]
+        x = x.astype(jnp.float32)
+        if data_init:
+            # reference flow.py:189-196: stats over ALL positions (padding
+            # included), assigned into the params.
+            flat = x.reshape(-1, self.channels)
+            mean = flat.mean(axis=0)
+            std = flat.std(axis=0)
+            log_scale = jnp.log(init_scale / (std + epsilon))
+            bias = -mean / (std + epsilon)
+            self.sow("flow_init", "log_scale", log_scale, reduce_fn=_keep_last)
+            self.sow("flow_init", "bias", bias, reduce_fn=_keep_last)
+        else:
+            log_scale, bias = self.log_scale, self.bias
+
+        if reverse:
+            out = (x - bias) / (jnp.exp(log_scale) + epsilon)
+            logdet_scalar = -jnp.sum(log_scale)
+        else:
+            out = x * jnp.exp(log_scale) + bias
+            logdet_scalar = jnp.sum(log_scale)
+        return out, _length_logdet(logdet_scalar, lengths, batch, max_time)
+
+
+class InvertibleLinear(nn.Module):
+    """Channel-mixing invertible 1x1 "convolution" (reference flow.py:116-153).
+
+    The backward pass solves against W (one 128x128 inverse per step; XLA
+    hoists it out of the batch) and uses logdet(W^-1) = -logdet(W) instead of
+    re-factorizing the inverse as the reference does (flow.py:141-144).
+    """
+
+    channels: int
+
+    def setup(self):
+        self.weight = self.param(
+            "weight", nn.initializers.orthogonal(), (self.channels, self.channels))
+
+    def __call__(self, x, lengths=None, reverse: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        batch, max_time = x.shape[0], x.shape[1]
+        x = x.astype(jnp.float32)
+        w = self.weight.astype(jnp.float32)
+        sign, logabsdet = jnp.linalg.slogdet(w)
+        # HIGHEST precision: on TPU the default matmul precision is bf16,
+        # which would break exact invertibility of the channel mix.
+        if reverse:
+            out = jnp.matmul(x, jnp.linalg.inv(w),
+                             precision=jax.lax.Precision.HIGHEST)
+            logdet_scalar = -logabsdet
+        else:
+            out = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
+            logdet_scalar = logabsdet
+        return out, _length_logdet(logdet_scalar, lengths, batch, max_time)
+
+
+class TransformerTransform(nn.Module):
+    """Text-conditioned scale/shift net inside a coupling
+    (reference modules/transform.py:30-59)."""
+
+    nblk: int
+    attention_dim: int
+    attention_heads: int
+    temperature: float
+    ffn_hidden: int
+    out_dim: int
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, condition_inputs, condition_lengths=None,
+                 target_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = nn.Dense(self.attention_dim, name="pre_projection")(inputs)
+        max_time, dim = x.shape[1], x.shape[2]
+        pos_weight = self.param("pos_weight", nn.initializers.ones, ())
+        x = x + pos_weight * positional_encoding(max_time, dim)[None]
+        for i in range(self.nblk):
+            x, _ = CrossAttentionBlock(
+                input_dim=self.attention_dim,
+                attention_dim=self.attention_dim,
+                attention_heads=self.attention_heads,
+                attention_temperature=self.temperature,
+                ffn_hidden=self.ffn_hidden,
+                use_pallas=self.use_pallas,
+                name=f"attention_{i}")(
+                x, condition_inputs, query_lengths=target_lengths,
+                memory_lengths=condition_lengths)
+        log_scale = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
+                             name="log_scale_projection")(x)
+        shift = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
+                         name="shift_projection")(x)
+        return log_scale, shift
+
+
+class TransformerCoupling(nn.Module):
+    """Affine coupling with a transformer conditioning net
+    (reference flow.py:199-262)."""
+
+    channels: int
+    nblk: int
+    attention_dim: int
+    attention_heads: int
+    temperature: float
+    ffn_hidden: int
+    order: str = "upper"  # 'upper': transform the second half; 'lower': first
+    use_pallas: bool = False
+
+    def setup(self):
+        assert self.order in ("upper", "lower")
+        self.net = TransformerTransform(
+            nblk=self.nblk, attention_dim=self.attention_dim,
+            attention_heads=self.attention_heads, temperature=self.temperature,
+            ffn_hidden=self.ffn_hidden, out_dim=self.channels // 2,
+            use_pallas=self.use_pallas)
+
+    def __call__(self, inputs, condition_inputs, inputs_lengths=None,
+                 condition_lengths=None, reverse: bool = False,
+                 epsilon: float = 1e-12) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        inputs = inputs.astype(jnp.float32)
+        half = self.channels // 2
+        lower_pt, upper_pt = inputs[..., :half], inputs[..., half:]
+        z, zp = ((lower_pt, upper_pt) if self.order == "upper"
+                 else (upper_pt, lower_pt))
+        log_scale, shift = self.net(
+            z, condition_inputs, condition_lengths=condition_lengths,
+            target_lengths=inputs_lengths)
+        log_scale = log_scale.astype(jnp.float32)
+        shift = shift.astype(jnp.float32)
+        scale = jax.nn.sigmoid(log_scale + 2.0)  # reference flow.py:231
+        if reverse:
+            zp = (zp - shift) / (scale + epsilon)
+            sign = -1.0
+        else:
+            zp = scale * zp + shift
+            sign = 1.0
+        max_time = inputs.shape[1]
+        if inputs_lengths is not None:
+            mask = sequence_mask(inputs_lengths, max_time,
+                                 dtype=jnp.float32)[..., None]
+        else:
+            mask = jnp.ones_like(log_scale)
+        logdet = sign * jnp.sum(jnp.log(scale) * mask, axis=(1, 2))
+        out = (jnp.concatenate([z, zp], axis=-1) if self.order == "upper"
+               else jnp.concatenate([zp, z], axis=-1))
+        return out, logdet

@@ -1,0 +1,36 @@
+"""Utterance length predictor
+(reference modules/length_predictor.py:30-42, DenseLengthPredictor).
+
+Per-token Dense(1) on (stop-gradient'd, by the caller) text embeddings;
+predicted frame count = masked sum over tokens of exp(projection).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import get_activation, sequence_mask
+
+Dtype = Any
+
+
+class DenseLengthPredictor(nn.Module):
+    activation: str = "identity"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, input_lengths=None) -> jnp.ndarray:
+        """inputs: [batch, max_time, dim] -> predicted lengths [batch] (float)."""
+        act = get_activation(self.activation)
+        proj = act(nn.Dense(1, dtype=self.dtype, name="projection")(inputs))
+        proj = proj.astype(jnp.float32)
+        max_time = inputs.shape[1]
+        if input_lengths is not None:
+            mask = sequence_mask(input_lengths, max_time,
+                                 dtype=jnp.float32)[..., None]
+        else:
+            mask = jnp.ones_like(proj)
+        return jnp.sum(jnp.exp(proj) * mask, axis=(1, 2))

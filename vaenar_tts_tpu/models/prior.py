@@ -1,0 +1,136 @@
+"""Glow-style flow prior p(z | text) (reference modules/prior.py:79-186).
+
+A stack of n_blk steps, each (ActNorm -> InvertibleLinear ->
+TransformerCoupling) with alternating coupling order. Three entry points:
+
+  * ``sample``: noise ~ N(0, temperature^2) -> forward through the stack,
+    logprob accumulates -logdet per layer (reference prior.py:154-169).
+  * ``log_probability``: run the stack in REVERSE to recover the base noise,
+    logprob = N(eps) + sum(logdet) (reference prior.py:119-152).
+  * ``init_pass``: forward pass with ActNorm data-dependent init sowed into
+    the 'flow_init' collection (reference prior.py:171-186).
+
+All computation fp32 (see models/flow.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .flow import ActNorm, InvertibleLinear, TransformerCoupling
+from .layers import sequence_mask
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+class TransformerPrior(nn.Module):
+    n_blk: int
+    channels: int
+    n_transformer_blk: int
+    attention_dim: int
+    attention_heads: int
+    temperature: float
+    ffn_hidden: int
+    use_pallas: bool = False
+
+    def setup(self):
+        actnorms, linears, couplings = [], [], []
+        orders = ["upper", "lower"]
+        for i in range(self.n_blk):
+            actnorms.append(ActNorm(self.channels, name=f"actnorm_{i}"))
+            linears.append(InvertibleLinear(
+                self.channels, name=f"invertible_linear_{i}"))
+            couplings.append(TransformerCoupling(
+                channels=self.channels, nblk=self.n_transformer_blk,
+                attention_dim=self.attention_dim,
+                attention_heads=self.attention_heads,
+                temperature=self.temperature, ffn_hidden=self.ffn_hidden,
+                order=orders[i % 2], use_pallas=self.use_pallas,
+                name=f"transformerCoupling{i}"))
+        self.actnorms = actnorms
+        self.linears = linears
+        self.couplings = couplings
+
+    def _initial_sample(self, targets_lengths, max_length: int,
+                        temperature=1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Base noise + masked standard-normal log-prob
+        (reference prior.py:26-42). ``max_length`` is static (bucketed)."""
+        batch = targets_lengths.shape[0]
+        rng = self.make_rng("sample")
+        epsilon = jax.random.normal(
+            rng, (batch, max_length, self.channels)) * temperature
+        logprobs = -0.5 * (LOG_2PI + epsilon ** 2)
+        mask = sequence_mask(targets_lengths, max_length,
+                             dtype=jnp.float32)[..., None]
+        logprobs = jnp.sum(mask * logprobs, axis=(1, 2))
+        return epsilon, logprobs
+
+    def _forward_stack(self, z, logprobs, condition_inputs, targets_lengths,
+                       condition_lengths, data_init: bool = False):
+        for actnorm, linear, coupling in zip(self.actnorms, self.linears,
+                                             self.couplings):
+            z, logdet = actnorm(z, targets_lengths, data_init=data_init)
+            logprobs -= logdet
+            z, logdet = linear(z, targets_lengths)
+            logprobs -= logdet
+            z, logdet = coupling(z, condition_inputs,
+                                 inputs_lengths=targets_lengths,
+                                 condition_lengths=condition_lengths)
+            logprobs -= logdet
+        return z, logprobs
+
+    def sample(self, targets_lengths, condition_inputs, condition_lengths=None,
+               max_length: Optional[int] = None, temperature=1.0
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Draw z ~ p(z|text): [batch, max_length, channels], logprobs [batch]
+        (reference prior.py:154-169)."""
+        epsilon, logprobs = self._initial_sample(
+            targets_lengths, max_length, temperature=temperature)
+        return self._forward_stack(epsilon, logprobs, condition_inputs,
+                                   targets_lengths, condition_lengths)
+
+    def log_probability(self, z, condition_inputs, z_lengths=None,
+                        condition_lengths=None) -> jnp.ndarray:
+        """log p(z|text): reverse the stack to the base distribution
+        (reference prior.py:119-152)."""
+        epsilon = z.astype(jnp.float32)
+        batch, max_time = z.shape[0], z.shape[1]
+        accum_logdet = jnp.zeros((batch,), dtype=jnp.float32)
+        for actnorm, linear, coupling in zip(reversed(self.actnorms),
+                                             reversed(self.linears),
+                                             reversed(self.couplings)):
+            epsilon, logdet = coupling(epsilon, condition_inputs,
+                                       inputs_lengths=z_lengths,
+                                       condition_lengths=condition_lengths,
+                                       reverse=True)
+            accum_logdet += logdet
+            epsilon, logdet = linear(epsilon, z_lengths, reverse=True)
+            accum_logdet += logdet
+            epsilon, logdet = actnorm(epsilon, z_lengths, reverse=True)
+            accum_logdet += logdet
+        logprobs = -0.5 * (LOG_2PI + epsilon ** 2)
+        mask = sequence_mask(z_lengths, max_time, dtype=jnp.float32)[..., None]
+        logprobs = jnp.sum(mask * logprobs, axis=(1, 2))
+        return logprobs + accum_logdet
+
+    def init_pass(self, conditions, targets_lengths, condition_lengths=None,
+                  max_length: Optional[int] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward pass with ActNorm data-dependent init
+        (reference prior.py:171-186). Run under
+        apply(..., mutable=['flow_init'])."""
+        epsilon, logprobs = self._initial_sample(targets_lengths, max_length)
+        return self._forward_stack(epsilon, logprobs, conditions,
+                                   targets_lengths, condition_lengths,
+                                   data_init=True)
+
+    def __call__(self, conditions, targets_lengths, condition_lengths=None,
+                 max_length: Optional[int] = None, temperature=1.0):
+        # default entry = sample (reference prior.py:101-117)
+        return self.sample(targets_lengths, conditions, condition_lengths,
+                           max_length=max_length, temperature=temperature)

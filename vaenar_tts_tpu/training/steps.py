@@ -1,0 +1,189 @@
+"""Pure jitted train/dev/test/init step builders.
+
+Functional counterparts of the reference's tf.function steps
+(train.py:120-179): explicit (params, batch_stats, opt_state) state threading,
+optax Adam, PRNG keys per step. ``reduction_factor`` is a static argument -
+the curriculum changes it only at epoch boundaries (4 recompiles total per
+shape bucket).
+
+The total loss is mel_l2 + kl_weight * max(kl, 0) + length_weight * len_l2
+(reference train.py:135); the dev loss uses the unclamped kl
+(reference train.py:154).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..configs.hparams import HParams
+from ..models.vaenar import VAENAR, merge_flow_init
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: int = 0
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state, "epoch": self.epoch}
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainState":
+        return cls(params=d["params"], batch_stats=d["batch_stats"],
+                   opt_state=d["opt_state"], epoch=int(d["epoch"]))
+
+
+def make_optimizer(hp: HParams) -> optax.GradientTransformation:
+    # reference train.py:116-117: Adam(1.25e-4, 0.9, 0.999, eps=1e-7)
+    return optax.adam(hp.train.learning_rate, b1=hp.train.adam_beta1,
+                      b2=hp.train.adam_beta2, eps=hp.train.adam_eps)
+
+
+def init_model(hp: HParams, model: VAENAR, seed: int,
+               text_max: int, mel_max: int) -> Tuple[Any, Any]:
+    """Initialize (params, batch_stats) with dummy shapes."""
+    k = jax.random.key(seed)
+    k_p, k_d, k_s = jax.random.split(k, 3)
+    B = 2
+    texts = jnp.zeros((B, text_max), jnp.int32)
+    mels = jnp.zeros((B, mel_max, hp.audio.num_mels), jnp.float32)
+    t_lens = jnp.full((B,), text_max, jnp.int32)
+    m_lens = jnp.full((B,), mel_max, jnp.int32)
+    variables = model.init(
+        {"params": k_p, "dropout": k_d, "sample": k_s},
+        texts, mels, m_lens, t_lens,
+        reduction_factor=hp.common.max_reduction_factor, train=True)
+    return variables["params"], variables.get("batch_stats", FrozenDict())
+
+
+def make_train_step(hp: HParams, model: VAENAR,
+                    optimizer: optax.GradientTransformation,
+                    donate: bool = True) -> Callable:
+    """Returns jitted fn(params, batch_stats, opt_state, texts, mels, t_lens,
+    m_lens, kl_weight, rng) -> (params, batch_stats, opt_state, metrics)."""
+
+    length_weight = hp.train.length_weight
+
+    @partial(jax.jit, static_argnames=("reduction_factor",),
+             donate_argnums=(0, 1, 2) if donate else ())
+    def train_step(params, batch_stats, opt_state, texts, mels, t_lens,
+                   m_lens, kl_weight, rng, reduction_factor: int = 2):
+        k_d, k_s = jax.random.split(rng)
+
+        def loss_fn(p):
+            outs, updated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                texts, mels, m_lens, t_lens,
+                reduction_factor=reduction_factor, train=True,
+                reduce_loss=True,
+                rngs={"dropout": k_d, "sample": k_s},
+                mutable=["batch_stats"])
+            _dec, mel_l2, kl, len_l2, _ali = outs
+            loss = (mel_l2 + kl_weight * jnp.maximum(kl, 0.0)
+                    + length_weight * len_l2)
+            return loss, (mel_l2, kl, len_l2, updated["batch_stats"])
+
+        (loss, (mel_l2, kl, len_l2, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {"total": loss, "mel_l2": mel_l2, "kl": kl,
+                   "len_l2": len_l2}
+        return new_params, new_bs, new_opt_state, metrics
+
+    return train_step
+
+
+def make_dev_step(hp: HParams, model: VAENAR) -> Callable:
+    """Eval step with per-example losses masked by n_valid (repeat-padded
+    batches contribute nothing), matching reference dev loss semantics
+    (train.py:148-155, kl unclamped)."""
+
+    length_weight = hp.train.length_weight
+
+    @partial(jax.jit, static_argnames=("reduction_factor",))
+    def dev_step(params, batch_stats, texts, mels, t_lens, m_lens, kl_weight,
+                 valid_mask, rng, reduction_factor: int = 2):
+        k_s = rng
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, mels, m_lens, t_lens,
+            reduction_factor=reduction_factor, train=False, reduce_loss=False,
+            rngs={"sample": k_s})
+        _dec, mel_l2, kl, len_l2, _ali = outs
+        n_valid = jnp.sum(valid_mask)
+
+        def vmean(x):
+            return jnp.sum(x * valid_mask) / n_valid
+
+        mel_l2, kl, len_l2 = vmean(mel_l2), vmean(kl), vmean(len_l2)
+        loss = mel_l2 + kl_weight * kl + length_weight * len_l2
+        return {"total": loss, "mel_l2": mel_l2, "kl": kl, "len_l2": len_l2}
+
+    return dev_step
+
+
+def make_test_step(hp: HParams, model: VAENAR) -> Callable:
+    """Synthesis step (reference train.py:158-169): prior sample -> decode."""
+
+    @partial(jax.jit,
+             static_argnames=("reduction_factor", "max_mel_length"))
+    def test_step(params, batch_stats, texts, t_lens, m_lens, rng,
+                  reduction_factor: int = 2,
+                  max_mel_length: int = 1200, temperature: float = 0.0):
+        mels, ali = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, m_lens, t_lens,
+            reduction_factor=reduction_factor,
+            max_mel_length=max_mel_length, temperature=temperature,
+            method=VAENAR.infer, rngs={"sample": rng})
+        return mels, ali
+
+    return test_step
+
+
+def make_inference_step(hp: HParams, model: VAENAR) -> Callable:
+    """CLI-style inference with predicted lengths
+    (reference inference.py:125-143)."""
+
+    @partial(jax.jit,
+             static_argnames=("reduction_factor", "max_mel_length"))
+    def inference_step(params, batch_stats, texts, t_lens, rng,
+                       reduction_factor: int = 2, max_mel_length: int = 2400,
+                       temperature: float = 0.0):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, t_lens, max_mel_length=max_mel_length,
+            reduction_factor=reduction_factor, temperature=temperature,
+            method=VAENAR.infer_with_length_prediction,
+            rngs={"sample": rng})
+
+    return inference_step
+
+
+def run_data_dependent_init(hp: HParams, model: VAENAR, params, batch_stats,
+                            texts, t_lens, m_lens, max_mel_length: int,
+                            seed: int = 0):
+    """The reference's init_step (train.py:171-179, models.py:212-226):
+    one forward pass whose ActNorm stats become the initial flow params.
+    ``max_mel_length`` is the padded mel time of the init batch."""
+    _, aux = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        texts, m_lens, t_lens, max_mel_length=max_mel_length,
+        method=VAENAR.init_pass,
+        rngs={"sample": jax.random.key(seed),
+              "dropout": jax.random.key(seed + 1)},
+        mutable=["flow_init", "batch_stats"])
+    flow_init = aux.get("flow_init", {})
+    new_params = merge_flow_init(params, flow_init)
+    return new_params

@@ -1,0 +1,51 @@
+"""Orbax checkpointing with the reference's retention contract.
+
+Replaces tf.train.Checkpoint/CheckpointManager (reference train.py:246-261):
+{params, batch_stats, opt_state, epoch} tree, max_to_keep=20,
+keep_checkpoint_every_n_hours=4, restore-latest on startup, initial save after
+data-dependent init. Note the reference's ``step`` variable counts EPOCHS
+(train.py:304-306); the key here is named ``epoch`` to avoid that trap.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, model_dir: str, max_to_keep: int = 20,
+                 keep_every_n_hours: float = 4.0):
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            keep_time_interval=datetime.timedelta(hours=keep_every_n_hours),
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.model_dir, options=options)
+
+    def save(self, epoch: int, state: Dict[str, Any]) -> None:
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: Dict[str, Any],
+                epoch: Optional[int] = None) -> Optional[Dict[str, Any]]:
+        """Restore the given (or latest) checkpoint into the structure of
+        ``abstract_state`` (a pytree of arrays or ShapeDtypeStructs)."""
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        ref = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                     abstract_state)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(ref))
+
+    def close(self) -> None:
+        self._mgr.close()
