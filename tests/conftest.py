@@ -21,6 +21,11 @@ import jax  # noqa: E402
 # Works even if jax was imported earlier, as long as no backend is live yet.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: grad-of-transformer compiles dominate test
+# time on CPU; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
 

@@ -1,0 +1,64 @@
+"""Fused Pallas attention numerics vs the XLA reference implementation
+(interpret mode on the CPU mesh; compiled Mosaic on real TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaenar_tts_tpu.models.attention import attention_mask, masked_attention_xla
+from vaenar_tts_tpu.ops.flash_attention import masked_flash_attention
+
+B, H, D = 2, 4, 16
+
+
+def _inputs(tq, tk, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, tq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, tk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, tk, D)), jnp.float32)
+    qlen = jnp.asarray(rng.integers(1, tq + 1, (B,)), jnp.int32)
+    mlen = jnp.asarray(rng.integers(1, tk + 1, (B,)), jnp.int32)
+    return q, k, v, qlen, mlen
+
+
+@pytest.mark.parametrize("tq,tk,causal", [
+    (64, 48, False),
+    (64, 64, True),
+    (128, 96, False),
+])
+def test_matches_xla_reference(tq, tk, causal):
+    q, k, v, qlen, mlen = _inputs(tq, tk)
+    scale = 1.0 / np.sqrt(D)
+    fused = masked_flash_attention(q, k, v, qlen, mlen, scale, causal)
+    mask = attention_mask(qlen, mlen, B, tq, tk, causal)
+    ref, _ = masked_attention_xla(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+def test_none_lengths_means_full():
+    q, k, v, _, _ = _inputs(64, 64, seed=3)
+    scale = 0.3
+    fused = masked_flash_attention(q, k, v, None, None, scale, False)
+    mask = attention_mask(None, None, B, 64, 64, False)
+    ref, _ = masked_attention_xla(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+def test_gradients_match_xla():
+    q, k, v, qlen, mlen = _inputs(64, 48, seed=7)
+    scale = 1.0 / np.sqrt(D)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(masked_flash_attention(q, k, v, qlen, mlen, scale,
+                                              False) ** 2)
+
+    def loss_ref(q, k, v):
+        mask = attention_mask(qlen, mlen, B, 64, 48, False)
+        out, _ = masked_attention_xla(q, k, v, mask, scale)
+        return jnp.sum(out ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

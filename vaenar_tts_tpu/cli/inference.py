@@ -1,0 +1,182 @@
+"""Inference CLI (reference inference.py:84-168 ``inference_test`` and
+:14-81 ``synthesize_from_text``).
+
+Batch test-set synthesis with RTF accounting:
+
+    python -m vaenar_tts_tpu.cli.inference --dataset ljspeech \
+        --data_dir /path/features --model_dir /path/ckpt \
+        --test_dir /path/out --batch_size 16 --temperature 0. \
+        [--write_mels] [--write_wavs] [--draw_alignments]
+
+Free-text synthesis:
+
+    python -m vaenar_tts_tpu.cli.inference --dataset ljspeech \
+        --text lines.txt --model_dir /path/ckpt --test_dir /path/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.export import TestUtils
+from ..configs import get_config
+from ..data.corpus import CORPORA
+from ..data.loader import BucketedLoader, pad_to_multiple
+from ..data.records import list_shards
+from ..models.vaenar import VAENAR
+from ..training.steps import init_model, make_inference_step
+from ..utils.checkpoint import CheckpointManager
+
+
+def load_model_state(hp, model_dir: str):
+    """Restore the latest checkpoint for synthesis (the reference's
+    model-only expect_partial restore, inference.py:122-123)."""
+    model = VAENAR(hp)
+    params, batch_stats = init_model(hp, model, hp.train.random_seed,
+                                     text_max=hp.dataset.text_bucket,
+                                     mel_max=hp.dataset.mel_bucket)
+    from ..training.steps import make_optimizer
+    mgr = CheckpointManager(model_dir)
+    full = {"params": params, "batch_stats": batch_stats, "epoch": 0,
+            "opt_state": make_optimizer(hp).init(params)}
+    r = mgr.restore(full)
+    mgr.close()
+    if r is None:
+        raise FileNotFoundError(f"no checkpoint found in {model_dir}")
+    return model, r["params"], r["batch_stats"], int(r["epoch"])
+
+
+def inference_test(args) -> None:
+    hp = get_config(args.dataset)
+    tester = TestUtils(hp, args.test_dir)
+    model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
+    inf_step = make_inference_step(hp, model)
+    r = hp.common.final_reduction_factor
+
+    loader = BucketedLoader(list_shards(args.data_dir, "test"),
+                            args.batch_size,
+                            mel_bucket=hp.dataset.mel_bucket,
+                            text_bucket=hp.dataset.text_bucket,
+                            shuffle=False, seed=0)
+    # static headroom: longest test mel + the reference's +80 pad, bucketed
+    max_mel = pad_to_multiple(
+        max(int(rr.mel_lens.max()) for rr in loader.readers) + 80,
+        hp.dataset.mel_bucket)
+    rng = jax.random.key(0)
+
+    # warm-up compile (reference inference.py:146-147)
+    first = next(iter(loader.epoch(0)))
+    inf_step(params, batch_stats, jnp.asarray(first.texts),
+             jnp.asarray(first.text_lengths), rng, reduction_factor=r,
+             max_mel_length=max_mel, temperature=args.temperature)
+
+    time_consumed = 0.0
+    durations = 0.0
+    for batch in loader.epoch(0):
+        t0 = time.time()
+        mels, pred_lens, ali = inf_step(
+            params, batch_stats, jnp.asarray(batch.texts),
+            jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
+            max_mel_length=max_mel, temperature=args.temperature)
+        mels = np.asarray(mels, np.float32)
+        pred_lens = np.asarray(pred_lens)
+        time_consumed += time.time() - t0
+        durations += (pred_lens[:batch.n_valid].sum()
+                      * hp.audio.frame_shift_sample / hp.audio.sample_rate)
+        ids = batch.fids[:batch.n_valid]
+        if args.write_mels:
+            tester.write_mels(epoch, mels[:batch.n_valid],
+                              pred_lens[:batch.n_valid], ids, prefix="prior")
+        if args.write_wavs:
+            tester.synthesize_and_save_wavs(
+                epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid], ids,
+                prefix="prior")
+        if args.draw_alignments:
+            for k, a in ali.items():
+                if a is None:
+                    continue
+                tester.multi_draw_attention_alignments(
+                    np.asarray(a, np.float32)[:batch.n_valid], batch.texts,
+                    batch.text_lengths, pred_lens, epoch, ids,
+                    prefix=f"prior-{k}")
+    rtf = time_consumed / max(durations, 1e-9)
+    print(f"Total time consumed is {time_consumed:.3f} Secs, "
+          f"total synthesis duration is {durations:.3f} Secs, "
+          f"Average RTF is {rtf:.5f}.")
+
+
+def synthesize_from_text(args) -> None:
+    hp = get_config(args.dataset)
+    tester = TestUtils(hp, args.test_dir)
+    model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
+    inf_step = make_inference_step(hp, model)
+    r = hp.common.final_reduction_factor
+    corpus = CORPORA[args.dataset](None, None, hp)
+
+    texts, text_lens = [], []
+    with open(args.text) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            seq = corpus.text_to_array(line)
+            texts.append(seq)
+            text_lens.append(len(seq))
+    ids = [str(i) for i in range(len(texts))]
+    text_max = pad_to_multiple(max(text_lens), hp.dataset.text_bucket)
+    batch = np.zeros((len(texts), text_max), np.int32)
+    for i, t in enumerate(texts):
+        batch[i, :len(t)] = t
+    # generous static mel headroom from the len ratio
+    max_mel = pad_to_multiple(
+        int(text_max * hp.common.mel_text_len_ratio * 2) + 160,
+        hp.dataset.mel_bucket)
+    mels, pred_lens, ali = inf_step(
+        params, batch_stats, jnp.asarray(batch),
+        jnp.asarray(np.asarray(text_lens, np.int32)), jax.random.key(0),
+        reduction_factor=r, max_mel_length=max_mel,
+        temperature=args.temperature)
+    mels = np.asarray(mels, np.float32)
+    pred_lens = np.asarray(pred_lens)
+    tester.synthesize_and_save_wavs(epoch, mels, pred_lens, ids, prefix="test")
+    for k, a in ali.items():
+        if a is None:
+            continue
+        tester.multi_draw_attention_alignments(
+            np.asarray(a, np.float32), batch, np.asarray(text_lens),
+            pred_lens, epoch, ids, prefix=f"prior-{k}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("Inference parameters parser")
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=["ljspeech", "databaker"])
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--text", type=str, default=None,
+                        help="file of lines to synthesize (free-text mode)")
+    parser.add_argument("--model_dir", type=str, required=True)
+    parser.add_argument("--test_dir", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--write_mels", action="store_true", default=True)
+    parser.add_argument("--write_wavs", action="store_true", default=False)
+    parser.add_argument("--draw_alignments", action="store_true",
+                        default=False)
+    args = parser.parse_args(argv)
+    os.makedirs(args.test_dir, exist_ok=True)
+    if args.text:
+        synthesize_from_text(args)
+    else:
+        if not args.data_dir:
+            parser.error("--data_dir required for test-set inference")
+        inference_test(args)
+
+
+if __name__ == "__main__":
+    main()

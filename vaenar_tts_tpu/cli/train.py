@@ -1,0 +1,61 @@
+"""Training CLI (reference train.py:35-329).
+
+    python -m vaenar_tts_tpu.cli.train --dataset ljspeech \
+        --data_dir /path/features --model_dir /path/ckpt \
+        --log_dir /path/logs [--test_dir /path/test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+from ..configs import get_config
+from ..training.loop import train
+from ..utils.logging import Logger
+
+
+def set_global_determinism(seed: int) -> None:
+    # reference train.py:17-32; JAX is deterministic given explicit keys,
+    # host-side RNGs still get seeded.
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("Training parameters parser")
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=["ljspeech", "databaker"])
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="record shard directory")
+    parser.add_argument("--model_dir", type=str, required=True,
+                        help="directory to save model checkpoints")
+    parser.add_argument("--log_dir", type=str, required=True)
+    parser.add_argument("--test_dir", type=str, default=None)
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"])
+    args = parser.parse_args(argv)
+
+    hparams = get_config(args.dataset)
+    if args.compute_dtype:
+        hparams = hparams.replace(
+            train=hparams.train.__class__(
+                **{**hparams.train.__dict__,
+                   "compute_dtype": args.compute_dtype}))
+    set_global_determinism(hparams.train.random_seed)
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    os.makedirs(args.log_dir, exist_ok=True)
+    Logger(args.log_dir).install()
+
+    train(hparams, args.data_dir, args.model_dir, args.log_dir,
+          test_dir=args.test_dir, max_epochs=args.max_epochs)
+
+
+if __name__ == "__main__":
+    main()

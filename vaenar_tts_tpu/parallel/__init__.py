@@ -1,0 +1,17 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_sharding_rules",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+]

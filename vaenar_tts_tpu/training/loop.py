@@ -1,0 +1,204 @@
+"""Training driver: epochs, curriculum, eval, checkpoints, artifacts.
+
+Functional re-build of reference train.py:35-329:
+  * restore-latest or data-dependent cold init + initial save + priming step
+    (train.py:246-266)
+  * kl-weight anneal + reduction-factor curriculum per epoch
+    (train.py:229-243, :269-271)
+  * per-epoch train/dev loss averages -> metrics writer
+    (train.py:280-301)
+  * checkpoint each epoch; every ``test_interval`` epochs synthesize one test
+    batch to wavs/mel plots/alignment plots (train.py:304-325)
+
+TPU specifics: jitted steps with static reduction_factor, shapes bucketed by
+the loader (a handful of compilations per curriculum stage), device arrays
+donated across steps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.export import TestUtils
+from ..configs.hparams import HParams
+from ..data.loader import BucketedLoader
+from ..data.records import list_shards
+from ..models.vaenar import VAENAR
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import MetricsWriter
+from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
+                    make_test_step, make_train_step, run_data_dependent_init)
+
+
+def make_loaders(hp: HParams, data_dir: str):
+    train = BucketedLoader(
+        list_shards(data_dir, "train"), hp.train.train_batch_size,
+        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        shuffle=hp.train.shuffle, seed=hp.train.random_seed, drop_last=True)
+    dev = BucketedLoader(
+        list_shards(data_dir, "dev"), hp.train.train_batch_size,
+        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        shuffle=False, seed=hp.train.random_seed)
+    test = BucketedLoader(
+        list_shards(data_dir, "test"), hp.train.test_batch_size,
+        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        shuffle=False, seed=hp.train.random_seed)
+    return train, dev, test
+
+
+def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
+          test_dir: Optional[str] = None,
+          max_epochs: Optional[int] = None,
+          steps_per_epoch: Optional[int] = None,
+          log_every: int = 50) -> TrainState:
+    """Run (or resume) training. Returns the final TrainState."""
+    test_dir = test_dir or os.path.join(log_dir, "test")
+    tester = TestUtils(hp, test_dir)
+    metrics_train = MetricsWriter(os.path.join(log_dir, "train"))
+    metrics_dev = MetricsWriter(os.path.join(log_dir, "dev"))
+
+    train_loader, dev_loader, test_loader = make_loaders(hp, data_dir)
+    print(f"train batches/epoch: {len(train_loader)}, "
+          f"dev: {len(dev_loader)}, test: {len(test_loader)}")
+    print(f"shape census (text_max, mel_max) -> count: "
+          f"{train_loader.shape_census()}")
+
+    model = VAENAR(hp)
+    optimizer = make_optimizer(hp)
+    train_step = make_train_step(hp, model, optimizer)
+    dev_step = make_dev_step(hp, model)
+    test_step = make_test_step(hp, model)
+
+    # -- init or restore ------------------------------------------------------
+    params, batch_stats = init_model(
+        hp, model, hp.train.random_seed,
+        text_max=hp.dataset.text_bucket, mel_max=hp.dataset.mel_bucket)
+    opt_state = optimizer.init(params)
+    state = TrainState(params, batch_stats, opt_state, epoch=0)
+
+    ckpt = CheckpointManager(model_dir,
+                             max_to_keep=hp.train.checkpoint_max_to_keep,
+                             keep_every_n_hours=hp.train.checkpoint_keep_every_n_hours)
+    restored = ckpt.restore(state.as_dict())
+    rng = jax.random.key(hp.train.random_seed)
+    if restored is not None:
+        state = TrainState.from_dict(restored)
+        print(f"Restored from epoch {state.epoch}")
+    else:
+        print("Initializing from scratch (data-dependent flow init).")
+        first = next(iter(train_loader.epoch(0)))
+        new_params = run_data_dependent_init(
+            hp, model, state.params, state.batch_stats,
+            jnp.asarray(first.texts), jnp.asarray(first.text_lengths),
+            jnp.asarray(first.mel_lengths),
+            max_mel_length=first.mels.shape[1],
+            seed=hp.train.random_seed)
+        state.params = new_params
+        state.opt_state = optimizer.init(new_params)
+        ckpt.save(0, state.as_dict())
+        # priming step at max reduction factor (reference train.py:262-266)
+        rng, sub = jax.random.split(rng)
+        p, bs, os_, m = train_step(
+            state.params, state.batch_stats, state.opt_state,
+            jnp.asarray(first.texts), jnp.asarray(first.mels),
+            jnp.asarray(first.text_lengths), jnp.asarray(first.mel_lengths),
+            jnp.float32(hp.train.kl_weight_init), sub,
+            reduction_factor=hp.common.max_reduction_factor)
+        state = TrainState(p, bs, os_, epoch=0)
+        print("Initial step:", {k: float(v) for k, v in m.items()})
+
+    # -- epochs ----------------------------------------------------------------
+    total_epochs = max_epochs if max_epochs is not None else hp.train.epochs
+    for epoch in range(state.epoch + 1, total_epochs):
+        kl_weight = hp.train.kl_weight_at(epoch)
+        r = hp.train.reduction_factor_at(epoch)
+        print(f"Epoch {epoch}: kl_weight={kl_weight}, reduction_factor={r}")
+        epoch_start = time.time()
+        sums: Dict[str, float] = {}
+        n_steps = 0
+        for batch in train_loader.epoch(epoch):
+            rng, sub = jax.random.split(rng)
+            step_start = time.time()
+            p, bs, os_, m = train_step(
+                state.params, state.batch_stats, state.opt_state,
+                jnp.asarray(batch.texts), jnp.asarray(batch.mels),
+                jnp.asarray(batch.text_lengths),
+                jnp.asarray(batch.mel_lengths),
+                jnp.float32(kl_weight), sub, reduction_factor=r)
+            state = TrainState(p, bs, os_, epoch=state.epoch)
+            n_steps += 1
+            if n_steps % log_every == 0 or n_steps == 1:
+                mh = {k: float(v) for k, v in m.items()}
+                print(f"  step {n_steps}: " + ", ".join(
+                    f"{k} {v:.6f}" for k, v in mh.items())
+                    + f", time {time.time() - step_start:.3f}s")
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            if steps_per_epoch and n_steps >= steps_per_epoch:
+                break
+        train_avg = {k: v / max(n_steps, 1) for k, v in sums.items()}
+        print(f"Epoch {epoch} train done in {time.time() - epoch_start:.1f}s: "
+              f"{train_avg}")
+        metrics_train.scalars(epoch, train_avg)
+
+        # validation (reference train.py:287-296)
+        dev_sums: Dict[str, float] = {}
+        n_dev = 0
+        for batch in dev_loader.epoch(epoch):
+            rng, sub = jax.random.split(rng)
+            vmask = (np.arange(batch.texts.shape[0]) < batch.n_valid
+                     ).astype(np.float32)
+            m = dev_step(state.params, state.batch_stats,
+                         jnp.asarray(batch.texts), jnp.asarray(batch.mels),
+                         jnp.asarray(batch.text_lengths),
+                         jnp.asarray(batch.mel_lengths),
+                         jnp.float32(kl_weight), jnp.asarray(vmask), sub,
+                         reduction_factor=r)
+            for k, v in m.items():
+                dev_sums[k] = dev_sums.get(k, 0.0) + float(v)
+            n_dev += 1
+        dev_avg = {k: v / max(n_dev, 1) for k, v in dev_sums.items()}
+        print(f"Epoch {epoch} dev: {dev_avg}")
+        metrics_dev.scalars(epoch, dev_avg)
+
+        state.epoch = epoch
+        ckpt.save(epoch, state.as_dict())
+
+        if epoch % hp.train.test_interval == 0 and test_dir:
+            _run_test_artifacts(hp, state, test_step, test_loader, tester,
+                                epoch, r, rng)
+    ckpt.close()
+    return state
+
+
+def _run_test_artifacts(hp, state, test_step, test_loader, tester, epoch, r,
+                        rng):
+    """Synthesize one test batch to wavs + plots (reference train.py:309-325)."""
+    try:
+        batch = next(iter(test_loader.epoch(epoch)))
+    except StopIteration:
+        return
+    mels, ali = test_step(
+        state.params, state.batch_stats, jnp.asarray(batch.texts),
+        jnp.asarray(batch.text_lengths), jnp.asarray(batch.mel_lengths), rng,
+        reduction_factor=r, max_mel_length=batch.mels.shape[1])
+    mels = np.asarray(mels, np.float32)
+    try:
+        tester.synthesize_and_save_wavs(epoch, mels, batch.mel_lengths,
+                                        batch.fids, "test")
+    except Exception as e:  # reference swallows vocoder failures (train.py:314-318)
+        print(f"Something wrong with the generated waveform: {e}")
+    tester.draw_melspectrograms(epoch, mels, batch.mel_lengths, batch.fids,
+                                "test")
+    for k, a in ali.items():
+        if a is None:
+            continue
+        tester.multi_draw_attention_alignments(
+            np.asarray(a, np.float32), batch.texts, batch.text_lengths,
+            batch.mel_lengths, epoch, batch.fids, f"test-{k}")
