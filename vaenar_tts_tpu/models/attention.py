@@ -19,6 +19,7 @@ selected with ``use_pallas`` when shapes qualify.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -100,7 +101,8 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(batch, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split_heads(q, tq), split_heads(k, tk), split_heads(v, tk)
-        scale = 1.0 / (jnp.sqrt(float(head_dim)) * self.temperature)
+        # python float (not jnp): the fused kernel takes it as a static value
+        scale = 1.0 / (math.sqrt(float(head_dim)) * self.temperature)
 
         if self.use_pallas:
             from ..ops.flash_attention import masked_flash_attention

@@ -76,10 +76,13 @@ def _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal):
 def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal):
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
-    bq = min(Tq, 256)
-    n_q_blocks = pl.cdiv(Tq, bq)
-    if Tq % bq != 0:  # keep the grid exact; shapes are bucketed anyway
+    for cand in (256, 192, 128, 96, 64, 48, 32, 16, 8):
+        if Tq % cand == 0:
+            bq = cand
+            break
+    else:  # ragged Tq: shapes are bucketed upstream, so this is cold
         return _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal)
+    n_q_blocks = Tq // bq
 
     if q_lengths is None:
         q_lengths = jnp.full((B,), Tq, jnp.int32)
@@ -108,6 +111,8 @@ def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal):
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * H * Tq * Tk,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=jax.default_backend() != "tpu",  # CPU tests use interpreter
     )(q_lengths.astype(jnp.int32), m_lengths.astype(jnp.int32), q, k, v)
 
