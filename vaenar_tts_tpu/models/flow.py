@@ -123,7 +123,11 @@ class InvertibleLinear(nn.Module):
 
 class TransformerTransform(nn.Module):
     """Text-conditioned scale/shift net inside a coupling
-    (reference modules/transform.py:30-59)."""
+    (reference modules/transform.py:30-59).
+
+    The transformer net itself may run in the compute dtype (bf16): only its
+    log_scale/shift OUTPUTS feed the precision-critical affine/logdet math,
+    which the coupling casts back to fp32."""
 
     nblk: int
     attention_dim: int
@@ -132,14 +136,17 @@ class TransformerTransform(nn.Module):
     ffn_hidden: int
     out_dim: int
     use_pallas: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, condition_inputs, condition_lengths=None,
                  target_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        x = nn.Dense(self.attention_dim, name="pre_projection")(inputs)
+        x = nn.Dense(self.attention_dim, dtype=self.dtype,
+                     name="pre_projection")(inputs)
         max_time, dim = x.shape[1], x.shape[2]
         pos_weight = self.param("pos_weight", nn.initializers.ones, ())
-        x = x + pos_weight * positional_encoding(max_time, dim)[None]
+        x = x + pos_weight * positional_encoding(max_time, dim,
+                                                 dtype=self.dtype)[None]
         for i in range(self.nblk):
             x, _ = CrossAttentionBlock(
                 input_dim=self.attention_dim,
@@ -148,13 +155,14 @@ class TransformerTransform(nn.Module):
                 attention_temperature=self.temperature,
                 ffn_hidden=self.ffn_hidden,
                 use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"attention_{i}")(
                 x, condition_inputs, query_lengths=target_lengths,
                 memory_lengths=condition_lengths)
         log_scale = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
-                             name="log_scale_projection")(x)
+                             dtype=self.dtype, name="log_scale_projection")(x)
         shift = nn.Dense(self.out_dim, kernel_init=nn.initializers.zeros,
-                         name="shift_projection")(x)
+                         dtype=self.dtype, name="shift_projection")(x)
         return log_scale, shift
 
 
@@ -170,6 +178,7 @@ class TransformerCoupling(nn.Module):
     ffn_hidden: int
     order: str = "upper"  # 'upper': transform the second half; 'lower': first
     use_pallas: bool = False
+    dtype: Any = jnp.float32  # conditioning-net compute dtype; affine is fp32
 
     def setup(self):
         assert self.order in ("upper", "lower")
@@ -177,7 +186,7 @@ class TransformerCoupling(nn.Module):
             nblk=self.nblk, attention_dim=self.attention_dim,
             attention_heads=self.attention_heads, temperature=self.temperature,
             ffn_hidden=self.ffn_hidden, out_dim=self.channels // 2,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, dtype=self.dtype)
 
     def __call__(self, inputs, condition_inputs, inputs_lengths=None,
                  condition_lengths=None, reverse: bool = False,

@@ -37,6 +37,7 @@ class TransformerPrior(nn.Module):
     temperature: float
     ffn_hidden: int
     use_pallas: bool = False
+    dtype: Any = jnp.float32  # coupling-net compute dtype; flow math is fp32
 
     def setup(self):
         actnorms, linears, couplings = [], [], []
@@ -51,7 +52,7 @@ class TransformerPrior(nn.Module):
                 attention_heads=self.attention_heads,
                 temperature=self.temperature, ffn_hidden=self.ffn_hidden,
                 order=orders[i % 2], use_pallas=self.use_pallas,
-                name=f"transformerCoupling{i}"))
+                dtype=self.dtype, name=f"transformerCoupling{i}"))
         self.actnorms = actnorms
         self.linears = linears
         self.couplings = couplings

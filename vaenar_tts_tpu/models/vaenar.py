@@ -103,7 +103,7 @@ class VAENAR(nn.Module):
             attention_heads=hp.prior.attention_heads,
             temperature=hp.prior.temperature,
             ffn_hidden=hp.prior.ffn_hidden,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, dtype=dtype)
 
     # -- loss helpers (reference models.py:67-103) ---------------------------
 

@@ -76,11 +76,13 @@ def _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal):
 def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal):
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
-    for cand in (256, 192, 128, 96, 64, 48, 32, 16, 8):
-        if Tq % cand == 0:
+    # largest divisor of Tq up to 256 that keeps sublane alignment
+    bq = 0
+    for cand in range(min(Tq, 256), 7, -1):
+        if Tq % cand == 0 and cand % 8 == 0:
             bq = cand
             break
-    else:  # ragged Tq: shapes are bucketed upstream, so this is cold
+    if bq == 0:  # ragged Tq: shapes are bucketed upstream, so this is cold
         return _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal)
     n_q_blocks = Tq // bq
 

@@ -32,6 +32,7 @@ from ..data.records import list_shards
 from ..models.vaenar import VAENAR
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricsWriter
+from ..utils.profiling import RetraceMonitor
 from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
                     make_test_step, make_train_step, run_data_dependent_init)
 
@@ -74,6 +75,9 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     train_step = make_train_step(hp, model, optimizer)
     dev_step = make_dev_step(hp, model)
     test_step = make_test_step(hp, model)
+    # jit-recompile detector (the reference's 'tracing back at...' prints)
+    retrace = RetraceMonitor(train_step=train_step, dev_step=dev_step,
+                             test_step=test_step)
 
     # -- init or restore ------------------------------------------------------
     params, batch_stats = init_model(
@@ -145,6 +149,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         train_avg = {k: v / max(n_steps, 1) for k, v in sums.items()}
         print(f"Epoch {epoch} train done in {time.time() - epoch_start:.1f}s: "
               f"{train_avg}")
+        retrace.check(f"epoch {epoch}")
         metrics_train.scalars(epoch, train_avg)
 
         # validation (reference train.py:287-296)
