@@ -32,6 +32,7 @@ from ..data.records import list_shards
 from ..models.vaenar import VAENAR
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricsWriter
+from ..utils.prefetch import prefetch
 from ..utils.profiling import RetraceMonitor
 from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
                     make_test_step, make_train_step, run_data_dependent_init)
@@ -126,7 +127,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         epoch_start = time.time()
         sums: Dict[str, float] = {}
         n_steps = 0
-        for batch in train_loader.epoch(epoch):
+        for batch in prefetch(train_loader.epoch(epoch)):
             rng, sub = jax.random.split(rng)
             step_start = time.time()
             p, bs, os_, m = train_step(
