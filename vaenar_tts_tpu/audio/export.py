@@ -66,6 +66,27 @@ class TestUtils:
             paths = list(ex.map(synth, range(len(mel_batch))))
         return paths
 
+    def synthesize_and_save_wavs_jax(self, tag, mel_batch: np.ndarray,
+                                     mel_lengths, ids, prefix: str = "",
+                                     seed: int = 0) -> List[str]:
+        """Batched on-device Griffin-Lim (ops/griffin_lim.py) instead of CPU
+        threads; host only writes the int16 files."""
+        import jax
+        from ..ops.griffin_lim import mel_to_wav_jax
+        wavs = np.asarray(mel_to_wav_jax(
+            np.asarray(mel_batch, np.float32), self.hps.audio,
+            jax.random.key(seed)))
+        paths = []
+        hop = self.hps.audio.frame_shift_sample
+        for i in range(len(mel_batch)):
+            n = int(mel_lengths[i]) * hop
+            wav = self.audio.inv_preemphasize(wavs[i][:n])
+            name = f"{prefix}-{tag}-{_fid(ids[i])}.wav"
+            path = os.path.join(self.save_dir, name)
+            self.audio.save_wav(np.asarray(wav), path)
+            paths.append(path)
+        return paths
+
     # -- plots (reference audio/utils.py:50-116) -------------------------------
 
     def draw_melspectrograms(self, tag, mel_batch: np.ndarray, mel_lengths,

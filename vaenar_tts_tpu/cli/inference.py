@@ -94,9 +94,10 @@ def inference_test(args) -> None:
             tester.write_mels(epoch, mels[:batch.n_valid],
                               pred_lens[:batch.n_valid], ids, prefix="prior")
         if args.write_wavs:
-            tester.synthesize_and_save_wavs(
-                epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid], ids,
-                prefix="prior")
+            synth = (tester.synthesize_and_save_wavs_jax if args.jax_vocoder
+                     else tester.synthesize_and_save_wavs)
+            synth(epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid], ids,
+                  prefix="prior")
         if args.draw_alignments:
             for k, a in ali.items():
                 if a is None:
@@ -168,6 +169,8 @@ def main(argv=None) -> None:
     parser.add_argument("--write_wavs", action="store_true", default=False)
     parser.add_argument("--draw_alignments", action="store_true",
                         default=False)
+    parser.add_argument("--jax_vocoder", action="store_true", default=False,
+                        help="batched on-device Griffin-Lim instead of CPU")
     args = parser.parse_args(argv)
     os.makedirs(args.test_dir, exist_ok=True)
     if args.text:

@@ -14,6 +14,7 @@ import random
 import numpy as np
 
 from ..configs import get_config
+from ..configs.overrides import apply_overrides
 from ..training.loop import train
 from ..utils.logging import Logger
 
@@ -39,14 +40,24 @@ def main(argv=None) -> None:
     parser.add_argument("--max_epochs", type=int, default=None)
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--override", action="append", default=[],
+                        metavar="key.path=value",
+                        help="config override, e.g. prior.n_blk=12 "
+                             "(repeatable; enables flow-depth ablations)")
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="multi-host: jax.distributed.initialize() and "
+                             "shard input batches by process")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     hparams = get_config(args.dataset)
     if args.compute_dtype:
-        hparams = hparams.replace(
-            train=hparams.train.__class__(
-                **{**hparams.train.__dict__,
-                   "compute_dtype": args.compute_dtype}))
+        hparams = apply_overrides(
+            hparams, [f"train.compute_dtype={args.compute_dtype}"])
+    hparams = apply_overrides(hparams, args.override)
     set_global_determinism(hparams.train.random_seed)
 
     os.makedirs(args.model_dir, exist_ok=True)

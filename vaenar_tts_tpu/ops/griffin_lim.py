@@ -1,0 +1,136 @@
+"""Batched on-device Griffin-Lim vocoder.
+
+The reference synthesizes waveforms with 60 Griffin-Lim iterations per
+utterance on CPU threads (reference audio/audio.py:95-102,
+audio/utils.py:24-40). Here the whole batch iterates on-device: STFT as a
+strided conv on the MXU (ops/stft.py), iSTFT as its transpose (overlap-add
+via conv_transpose with the windowed inverse-DFT basis), phase updates
+element-wise on the VPU, and the 60-iteration loop as a lax.fori_loop inside
+one jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.dsp import hann_window
+from ..configs.hparams import AudioConfig
+from .stft import _dft_filters
+
+
+@functools.lru_cache(maxsize=4)
+def _idft_filters(n_fft: int, win_length: int) -> np.ndarray:
+    """[2*n_bins, 1, n_fft] filters mapping (re, im) spectra back to windowed
+    time frames: frame = window * irfft(spec)."""
+    window = np.zeros(n_fft)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length)
+    n_bins = 1 + n_fft // 2
+    k = np.arange(n_bins)[None, :]
+    n = np.arange(n_fft)[:, None]
+    angle = 2.0 * np.pi * k * n / n_fft
+    # irfft coefficients: x[n] = (1/N) * sum_k w_k * (re_k cos - im_k sin)
+    w = np.full(n_bins, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    re_basis = np.cos(angle) * w / n_fft  # [n_fft, n_bins]
+    im_basis = -np.sin(angle) * w / n_fft
+    basis = np.concatenate([re_basis, im_basis], axis=1)  # [n_fft, 2*n_bins]
+    basis = basis * window[:, None]
+    return basis.T[:, None, :].astype(np.float32)  # [2*n_bins, 1, n_fft]
+
+
+@functools.lru_cache(maxsize=4)
+def _window_sumsquare(n_fft: int, win_length: int, hop: int,
+                      n_frames: int) -> np.ndarray:
+    window = np.zeros(n_fft)
+    lpad = (n_fft - win_length) // 2
+    window[lpad:lpad + win_length] = hann_window(win_length)
+    total = n_fft + hop * (n_frames - 1)
+    wss = np.zeros(total)
+    for i in range(n_frames):
+        wss[i * hop: i * hop + n_fft] += window ** 2
+    wss[wss < 1e-11] = 1.0
+    return wss.astype(np.float32)
+
+
+def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int, win_length: int
+             ) -> jnp.ndarray:
+    """[B, T_padded] (already center-padded) -> [B, 2*bins, F]."""
+    filters = jnp.asarray(_dft_filters(n_fft, win_length))
+    return jax.lax.conv_general_dilated(
+        y[:, None, :], filters, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+
+
+def _istft_ola(spec_ri: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+               n_frames: int) -> jnp.ndarray:
+    """[B, 2*bins, F] -> [B, n_fft + hop*(F-1)] (center padding NOT trimmed),
+    NOLA-normalized overlap-add."""
+    filters = jnp.asarray(_idft_filters(n_fft, win_length))
+    # conv_transpose reverses the kernel spatially; pre-flip the basis so
+    # frame f contributes basis[n] at output position f*hop + n (OLA).
+    kernel = filters.transpose(2, 0, 1)[::-1]  # [n_fft, 2*bins, 1] = (H, I, O)
+    y = jax.lax.conv_transpose(
+        spec_ri, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NCH", "HIO", "NCH"))
+    y = y[:, 0, :]
+    wss = jnp.asarray(_window_sumsquare(n_fft, win_length, hop, n_frames))
+    return y / wss[None, :]
+
+
+def griffin_lim_jax(magnitudes: jnp.ndarray, cfg: AudioConfig,
+                    rng: jax.Array, n_iters: Optional[int] = None
+                    ) -> jnp.ndarray:
+    """Batched Griffin-Lim: magnitudes [B, F, n_bins] -> waveforms [B, T]
+    (center padding trimmed). Matches AudioProcessor.griffin_lim semantics
+    with a seeded random initial phase."""
+    n_fft, hop, win = cfg.n_fft, cfg.frame_shift_sample, cfg.frame_length_sample
+    n_iters = cfg.griffin_lim_iters if n_iters is None else n_iters
+    B, F, n_bins = magnitudes.shape
+    mag = magnitudes.transpose(0, 2, 1).astype(jnp.float32)  # [B, bins, F]
+
+    phase0 = jax.random.uniform(rng, (B, n_bins, F), minval=0.0,
+                                maxval=2.0 * np.pi)
+    re = mag * jnp.cos(phase0)
+    im = mag * jnp.sin(phase0)
+
+    def ola(re, im):
+        return _istft_ola(jnp.concatenate([re, im], axis=1), n_fft, hop, win, F)
+
+    def body(_, carry):
+        re, im = carry
+        y = ola(re, im)
+        # re-analyze; keep only phase, snap magnitude back
+        spec = _stft_ri(y, n_fft, hop, win)
+        re_n, im_n = spec[:, :n_bins, :], spec[:, n_bins:, :]
+        norm = jnp.sqrt(re_n ** 2 + im_n ** 2 + 1e-12)
+        return mag * re_n / norm, mag * im_n / norm
+
+    re, im = jax.lax.fori_loop(0, n_iters, body, (re, im))
+    y = ola(re, im)
+    return y[:, n_fft // 2: y.shape[1] - n_fft // 2]
+
+
+def mel_to_wav_jax(mel: jnp.ndarray, cfg: AudioConfig, rng: jax.Array,
+                   mel_basis_pinv: Optional[jnp.ndarray] = None
+                   ) -> jnp.ndarray:
+    """Full on-device vocoder: normalized log-mel [B, F, num_mels] -> wav
+    [B, T] (inv-normalize -> dB->amp -> mel->linear -> S**power ->
+    Griffin-Lim), mirroring AudioProcessor.inv_mel_spectrogram."""
+    from ..audio.dsp import AudioProcessor
+    if mel_basis_pinv is None:
+        ap = AudioProcessor(cfg)
+        mel_basis_pinv = jnp.asarray(ap.inv_mel_basis().astype(np.float32))
+    # denormalize (asymmetric [0,1] path; reference audio.py:203-212)
+    S = (jnp.clip(mel, 0, cfg.max_abs_value) * (-cfg.min_level_db)
+         / cfg.max_abs_value + cfg.min_level_db)
+    amp = jnp.power(10.0, (S + cfg.ref_level_db) * 0.05)  # [B, F, mels]
+    linear = jnp.maximum(1e-10, amp @ mel_basis_pinv.T)  # [B, F, bins]
+    return griffin_lim_jax(linear ** cfg.power, cfg, rng)

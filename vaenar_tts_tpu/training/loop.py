@@ -39,10 +39,13 @@ from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
 
 
 def make_loaders(hp: HParams, data_dir: str):
+    # multi-host: each process takes a round-robin slice of the batch list
+    # (the per-shard record layout mirrors the reference's 8 train shards)
     train = BucketedLoader(
         list_shards(data_dir, "train"), hp.train.train_batch_size,
         mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
-        shuffle=hp.train.shuffle, seed=hp.train.random_seed, drop_last=True)
+        shuffle=hp.train.shuffle, seed=hp.train.random_seed, drop_last=True,
+        shard_index=jax.process_index(), shard_count=jax.process_count())
     dev = BucketedLoader(
         list_shards(data_dir, "dev"), hp.train.train_batch_size,
         mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
