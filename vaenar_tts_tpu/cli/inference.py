@@ -172,6 +172,12 @@ def main(argv=None) -> None:
     parser.add_argument("--jax_vocoder", action="store_true", default=False,
                         help="batched on-device Griffin-Lim instead of CPU")
     args = parser.parse_args(argv)
+
+    # persistent XLA compilation cache: restarts skip the 1-2 min compiles
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     os.makedirs(args.test_dir, exist_ok=True)
     if args.text:
         synthesize_from_text(args)

@@ -49,6 +49,12 @@ def main(argv=None) -> None:
                              "shard input batches by process")
     args = parser.parse_args(argv)
 
+    # persistent XLA compilation cache: restarts skip the 1-2 min compiles
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     if args.distributed:
         import jax
         jax.distributed.initialize()

@@ -89,25 +89,66 @@ class BucketedLoader:
 
     def _make_batch(self, idxs: Sequence[Tuple[int, int, int, int]]) -> Batch:
         n_valid = len(idxs)
-        utts = [self.readers[ri].get(li) for (_, _, ri, li) in idxs]
+        entries = list(idxs)
         if self.pad_batch and n_valid < self.batch_size:
-            utts = utts + [utts[-1]] * (self.batch_size - n_valid)
-        text_max = pad_to_multiple(max(u.text_len for u in utts),
+            entries = entries + [entries[-1]] * (self.batch_size - n_valid)
+        text_max = pad_to_multiple(max(t for (_, t, _, _) in entries),
                                    self.text_bucket)
-        mel_max = pad_to_multiple(max(u.mel_len for u in utts), self.mel_bucket)
-        B = len(utts)
+        mel_max = pad_to_multiple(max(m for (m, _, _, _) in entries),
+                                  self.mel_bucket)
+        B = len(entries)
         texts = np.zeros((B, text_max), np.int32)
         mels = np.zeros((B, mel_max, self.num_mels), np.float32)
         t_lens = np.zeros((B,), np.int32)
         m_lens = np.zeros((B,), np.int32)
-        fids = []
-        for i, u in enumerate(utts):
-            texts[i, :u.text_len] = u.text
-            mels[i, :u.mel_len] = u.mel
-            t_lens[i] = u.text_len
-            m_lens[i] = u.mel_len
-            fids.append(u.fid)
+        fids = [self.readers[ri].fids[li] for (_, _, ri, li) in entries]
+
+        packed = self._pack_native(entries, texts, mels, t_lens, m_lens)
+        if not packed:
+            for i, (_, _, ri, li) in enumerate(entries):
+                u = self.readers[ri].get(li)
+                texts[i, :u.text_len] = u.text
+                mels[i, :u.mel_len] = u.mel
+                t_lens[i] = u.text_len
+                m_lens[i] = u.mel_len
         return Batch(fids, texts, mels, t_lens, m_lens, n_valid)
+
+    def _pack_native(self, entries, texts, mels, t_lens, m_lens) -> bool:
+        """C++ multithreaded gather (native/batchpack.cc); False -> fallback."""
+        from ..native import get_batchpack
+        fn = get_batchpack()
+        if fn is None:
+            return False
+        import ctypes
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        by_reader: dict = {}
+        for row, (_, _, ri, li) in enumerate(entries):
+            by_reader.setdefault(ri, []).append((li, row))
+        for ri, pairs in by_reader.items():
+            r = self.readers[ri]
+            if r._mel_blob.dtype != np.float32:
+                return False
+            indices = np.asarray([p[0] for p in pairs], np.int64)
+            rows = np.asarray([p[1] for p in pairs], np.int64)
+            fn(r._text_blob.ctypes.data_as(i32p),
+               r.text_offsets.ctypes.data_as(i64p),
+               r.text_lens.ctypes.data_as(i64p),
+               r._mel_blob.ctypes.data_as(f32p),
+               r.mel_offsets.ctypes.data_as(i64p),
+               r.mel_lens.ctypes.data_as(i64p),
+               ctypes.c_int64(self.num_mels),
+               indices.ctypes.data_as(i64p),
+               rows.ctypes.data_as(i64p),
+               ctypes.c_int64(len(pairs)),
+               texts.ctypes.data_as(i32p),
+               ctypes.c_int64(texts.shape[1]),
+               mels.ctypes.data_as(f32p),
+               ctypes.c_int64(mels.shape[1]),
+               t_lens.ctypes.data_as(i32p),
+               m_lens.ctypes.data_as(i32p))
+        return True
 
     def epoch(self, epoch_index: int = 0) -> Iterator[Batch]:
         """Iterate one epoch; batch ORDER is shuffled with seed+epoch

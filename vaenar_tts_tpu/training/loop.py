@@ -18,6 +18,7 @@ donated across steps.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -121,9 +122,27 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         state = TrainState(p, bs, os_, epoch=0)
         print("Initial step:", {k: float(v) for k, v in m.items()})
 
+    # -- preemption handling: checkpoint-on-SIGTERM, then exit cleanly --------
+    # (the reference's only recovery is restore-latest on restart; this makes
+    # the restart lose at most the in-flight epoch's steps, not the epoch)
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(_sig, _frm):
+        stop_requested["flag"] = True
+        print("SIGTERM received: will checkpoint and stop at the next step")
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread (tests)
+        prev_handler = None
+
     # -- epochs ----------------------------------------------------------------
     total_epochs = max_epochs if max_epochs is not None else hp.train.epochs
     for epoch in range(state.epoch + 1, total_epochs):
+        if stop_requested["flag"]:
+            ckpt.save(state.epoch, state.as_dict())
+            print(f"preemption checkpoint saved at epoch {state.epoch}")
+            break
         kl_weight = hp.train.kl_weight_at(epoch)
         r = hp.train.reduction_factor_at(epoch)
         print(f"Epoch {epoch}: kl_weight={kl_weight}, reduction_factor={r}")
@@ -182,6 +201,11 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         if epoch % hp.train.test_interval == 0 and test_dir:
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
                                 epoch, r, rng)
+        if stop_requested["flag"]:
+            print(f"stopping after epoch {epoch} (preemption)")
+            break
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     ckpt.close()
     return state
 
