@@ -94,3 +94,29 @@ class TestDataBakerCorpus:
         assert set(td.keys()) == {"000001", "000002"}
         decoded = corpus.tokenizer.decode(td["000002"], strip_specials=True)
         assert decoded == "ni3-hao3."  # SYL separator inside a prosodic word
+
+
+class TestDeviceMelExtraction:
+    def test_matches_host_path(self, tmp_path):
+        """--device_mels output must match the host multiprocessing path."""
+        data = tmp_path / "LJSpeech"
+        data.mkdir()
+        make_lj_corpus(data, n=5)
+        hp = get_config("ljspeech")
+
+        host = LJSpeechCorpus(str(data), str(tmp_path / "host"), hp)
+        host.feature_extraction(num_workers=1)
+        dev = LJSpeechCorpus(str(data), str(tmp_path / "dev"), hp)
+        dev._validate_dir()
+        dev.text_dict = dev.text_process()
+        dev.dataset_split()
+        dev.extract_mels(use_device=True)
+
+        import glob
+        host_mels = sorted(glob.glob(os.path.join(host.mel_dir, "*.npy")))
+        assert host_mels
+        for hm in host_mels:
+            dm = os.path.join(dev.mel_dir, os.path.basename(hm))
+            a, b = np.load(hm), np.load(dm)
+            assert a.shape == b.shape, (hm, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=5e-4)

@@ -29,11 +29,15 @@ def main(argv=None) -> None:
     parser.add_argument("--record_split", type=int, default=8,
                         help="number of train record shards")
     parser.add_argument("--num_workers", type=int, default=None)
+    parser.add_argument("--device_mels", action="store_true", default=False,
+                        help="batched mel extraction on the accelerator "
+                             "instead of host multiprocessing")
     args = parser.parse_args(argv)
 
     hps = get_config(args.dataset)
     corpus = CORPORA[args.dataset](args.data_dir, args.save_dir, hps)
-    corpus.feature_extraction(num_workers=args.num_workers)
+    corpus.feature_extraction(num_workers=args.num_workers,
+                              use_device=args.device_mels)
 
     print("Writing sharded records...")
     writer = RecordWriter(args.save_dir, args.save_dir,

@@ -63,7 +63,8 @@ class TextMelCorpus:
 
     # -- public driver (reference datasets.py:34-50) --------------------------
 
-    def feature_extraction(self, num_workers: Optional[int] = None) -> None:
+    def feature_extraction(self, num_workers: Optional[int] = None,
+                           use_device: bool = False) -> None:
         if self.feats_extract_finish():
             print("Features already exist!")
             with open(self.text_dict_f, "rb") as f:
@@ -75,7 +76,7 @@ class TextMelCorpus:
         print("Splitting into train/dev/test...")
         self.dataset_split()
         print("Extracting mel-spectrograms...")
-        self.extract_mels(num_workers=num_workers)
+        self.extract_mels(num_workers=num_workers, use_device=use_device)
 
     def _validate_dir(self) -> None:
         assert os.path.isdir(self.data_root), self.data_root
@@ -142,8 +143,12 @@ class TextMelCorpus:
                     wav_files.append(os.path.join(root, basename))
         return wav_files
 
-    def extract_mels(self, num_workers: Optional[int] = None) -> None:
+    def extract_mels(self, num_workers: Optional[int] = None,
+                     use_device: bool = False) -> None:
         wav_list = self.get_wav_files()
+        if use_device:
+            self._extract_mels_device(wav_list)
+            return
         num_workers = num_workers or min(32, os.cpu_count() or 1)
         tasks = [(w, self.mel_dir, self.hps.audio) for w in wav_list]
         if num_workers <= 1:
@@ -155,6 +160,45 @@ class TextMelCorpus:
                                              chunksize=16)):
                     if (i + 1) % 1000 == 0:
                         print(f"  extracted {i + 1}/{len(tasks)}")
+
+    def _extract_mels_device(self, wav_list, batch_size: int = 32) -> None:
+        """Batched accelerator mel extraction (ops/stft.py).
+
+        Exact-parity recipe: preemphasize + reflect-center-pad each utterance
+        ON HOST (so frame windows see the true signal, not batch padding),
+        length-sort, zero-pad rows to a bucketed sample count, run the fused
+        conv+matmul with center=False, trim each row to its true 1 + n//hop
+        frames. Numerics vs the host path are test-enforced.
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..ops.stft import batched_melspectrogram
+        cfg = self.hps.audio
+        hop, n_fft = cfg.frame_shift_sample, cfg.n_fft
+        items = []
+        for wav_f in wav_list:
+            fid = os.path.basename(wav_f).rsplit(".", 1)[0]
+            y = self.audio_processor.load_wav(wav_f)
+            y = self.audio_processor.preemphasize(y).astype(np.float32)
+            y = np.pad(y, n_fft // 2, mode="reflect")
+            items.append((len(y), fid, y))
+        items.sort(key=lambda x: x[0])
+        fn = jax.jit(lambda y: batched_melspectrogram(
+            y, cfg, apply_preemphasis=False, center=False))
+        for i in range(0, len(items), batch_size):
+            chunk = items[i:i + batch_size]
+            max_len = ((max(n for n, _, _ in chunk) + hop - 1) // hop) * hop
+            batch = np.zeros((len(chunk), max_len), np.float32)
+            for j, (n, _, y) in enumerate(chunk):
+                batch[j, :n] = y
+            mels = np.asarray(fn(jnp.asarray(batch)), np.float32)
+            for j, (n, fid, _) in enumerate(chunk):
+                n_frames = 1 + (n - n_fft) // hop
+                np.save(os.path.join(self.mel_dir, fid + ".npy"),
+                        mels[j, :n_frames])
+            if (i // batch_size) % 20 == 0:
+                print(f"  device-extracted {min(i + batch_size, len(items))}"
+                      f"/{len(items)}")
 
     # -- per-dataset hooks -----------------------------------------------------
 

@@ -71,16 +71,21 @@ def batched_stft_magnitude(y: jnp.ndarray, n_fft: int, hop: int,
 
 
 def batched_melspectrogram(y: jnp.ndarray, cfg: AudioConfig,
-                           apply_preemphasis: bool = True) -> jnp.ndarray:
+                           apply_preemphasis: bool = True,
+                           center: Optional[bool] = None) -> jnp.ndarray:
     """Normalized log-mel for a batch of waveforms: [B, T] -> [B, F, num_mels]
     (the on-device equivalent of AudioProcessor.melspectrogram, transposed to
-    the [frames, mels] layout the data pipeline stores)."""
+    the [frames, mels] layout the data pipeline stores).
+
+    ``center=False`` lets callers pre-pad each utterance individually
+    (ragged batches) while keeping exact centered-frame semantics."""
     if y.ndim == 1:
         y = y[None]
     if apply_preemphasis:
         y = preemphasis(y, cfg.preemphasize)
     mag = batched_stft_magnitude(y, cfg.n_fft, cfg.frame_shift_sample,
-                                 cfg.frame_length_sample, cfg.center)
+                                 cfg.frame_length_sample,
+                                 cfg.center if center is None else center)
     mel_fb = jnp.asarray(mel_filterbank(
         cfg.sample_rate, cfg.n_fft, cfg.num_mels, cfg.min_mel_freq,
         cfg.max_mel_freq).T.astype(np.float32))  # [bins, n_mels]
