@@ -243,6 +243,9 @@ class VAENAR(nn.Module):
                                       pos_step=text_pos_step, train=False)
         predicted = self.length_predictor(
             jax.lax.stop_gradient(text_embd), text_lengths)
+        # clamp in float first: exp() of untrained logits can overflow, and
+        # float->int conversion of inf/huge values is undefined in XLA
+        predicted = jnp.clip(predicted, 1.0, float(max_mel_length))
         pred_m_l = predicted.astype(jnp.int32) + 80  # reference inference.py:136
         pred_m_l = jnp.minimum(pred_m_l, max_mel_length)
         reduced_lens = (pred_m_l + r - 1) // r

@@ -176,14 +176,19 @@ def run_data_dependent_init(hp: HParams, model: VAENAR, params, batch_stats,
                             seed: int = 0):
     """The reference's init_step (train.py:171-179, models.py:212-226):
     one forward pass whose ActNorm stats become the initial flow params.
-    ``max_mel_length`` is the padded mel time of the init batch."""
-    _, aux = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        texts, m_lens, t_lens, max_mel_length=max_mel_length,
-        method=VAENAR.init_pass,
-        rngs={"sample": jax.random.key(seed),
-              "dropout": jax.random.key(seed + 1)},
-        mutable=["flow_init", "batch_stats"])
-    flow_init = aux.get("flow_init", {})
-    new_params = merge_flow_init(params, flow_init)
-    return new_params
+    ``max_mel_length`` is the padded mel time of the init batch. Jitted:
+    run once per cold start (eager apply would dispatch per-op)."""
+
+    @jax.jit
+    def _init(params, batch_stats, texts, m_lens, t_lens, k1, k2):
+        _, aux = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, m_lens, t_lens, max_mel_length=max_mel_length,
+            method=VAENAR.init_pass,
+            rngs={"sample": k1, "dropout": k2},
+            mutable=["flow_init", "batch_stats"])
+        return aux.get("flow_init", {})
+
+    flow_init = _init(params, batch_stats, texts, m_lens, t_lens,
+                      jax.random.key(seed), jax.random.key(seed + 1))
+    return merge_flow_init(params, flow_init)
