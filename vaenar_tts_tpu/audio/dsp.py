@@ -287,6 +287,25 @@ class AudioProcessor:
 
     # -- misc -------------------------------------------------------------------
 
+    def mfcc(self, y: np.ndarray) -> np.ndarray:
+        """MFCCs + deltas + delta-deltas, [3*n_mfcc, n_frames]
+        (reference audio.py:244-257; delta via simple central differences in
+        place of librosa.feature.delta)."""
+        from scipy.fftpack import dct
+        pre = self.preemphasize(y)
+        D = self._stft(pre)
+        power_db = 10.0 * np.log10(np.maximum(
+            1e-10, self.linear_to_mel(np.abs(D) ** 2)))
+        mfcc = dct(power_db, axis=0, type=2, norm="ortho")[: self.cfg.n_mfcc]
+
+        def delta(x):
+            padded = np.pad(x, ((0, 0), (1, 1)), mode="edge")
+            return (padded[:, 2:] - padded[:, :-2]) / 2.0
+
+        d1 = delta(mfcc)
+        d2 = delta(d1)
+        return np.concatenate([mfcc, d1, d2], axis=0)
+
     def find_endpoint(self, wav: np.ndarray, threshold_db: float = -40.0,
                       min_silence_sec: float = 0.8) -> int:
         # reference audio.py:86-93
