@@ -2,7 +2,11 @@
 dtype variants, interleaved to cancel tunnel drift. Run on the real chip."""
 import dataclasses, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import jax, jax.numpy as jnp, numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vaenar_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+import numpy as np
 from vaenar_tts_tpu.configs import get_config
 from vaenar_tts_tpu.models import VAENAR
 from vaenar_tts_tpu.training.steps import init_model, make_test_step

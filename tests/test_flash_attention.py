@@ -26,6 +26,7 @@ def _inputs(tq, tk, seed=0):
     (64, 48, False),
     (64, 64, True),
     (128, 96, False),
+    (120, 96, False),  # bucketed z-length: exercises the divisor blocking
 ])
 def test_matches_xla_reference(tq, tk, causal):
     q, k, v, qlen, mlen = _inputs(tq, tk)
