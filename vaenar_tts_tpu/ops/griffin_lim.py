@@ -63,24 +63,32 @@ def _window_sumsquare(n_fft: int, win_length: int, hop: int,
 def _stft_ri(y: jnp.ndarray, n_fft: int, hop: int, win_length: int
              ) -> jnp.ndarray:
     """[B, T_padded] (already center-padded) -> [B, 2*bins, F]."""
-    filters = jnp.asarray(_dft_filters(n_fft, win_length))
-    return jax.lax.conv_general_dilated(
-        y[:, None, :], filters, window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"))
+    from .stft import batched_stft_ri
+    return batched_stft_ri(y, n_fft, hop, win_length).transpose(0, 2, 1)
 
 
 def _istft_ola(spec_ri: jnp.ndarray, n_fft: int, hop: int, win_length: int,
                n_frames: int) -> jnp.ndarray:
     """[B, 2*bins, F] -> [B, n_fft + hop*(F-1)] (center padding NOT trimmed),
-    NOLA-normalized overlap-add."""
-    filters = jnp.asarray(_idft_filters(n_fft, win_length))
-    # conv_transpose reverses the kernel spatially; pre-flip the basis so
-    # frame f contributes basis[n] at output position f*hop + n (OLA).
-    kernel = filters.transpose(2, 0, 1)[::-1]  # [n_fft, 2*bins, 1] = (H, I, O)
-    y = jax.lax.conv_transpose(
-        spec_ri, kernel, strides=(hop,), padding="VALID",
-        dimension_numbers=("NCH", "HIO", "NCH"))
-    y = y[:, 0, :]
+    NOLA-normalized overlap-add.
+
+    Synthesis = one dense matmul (spectra -> windowed time frames) followed by
+    overlap-add expressed as n_fft/hop shifted slice-adds - MXU + cheap
+    element-wise adds, avoiding the giant-kernel conv_transpose lowering."""
+    basis = jnp.asarray(_idft_filters(n_fft, win_length))[:, 0, :]  # [2b, n_fft]
+    frames = jnp.einsum("bcf,cn->bfn", spec_ri, basis,
+                        precision=jax.lax.Precision.HIGHEST)  # [B, F, n_fft]
+    B = frames.shape[0]
+    total = n_fft + hop * (n_frames - 1)
+    assert n_fft % hop == 0, (n_fft, hop)
+    k = n_fft // hop
+    # frame f covers [f*hop, f*hop + n_fft). Split each frame into k hop-sized
+    # chunks; chunk j of frame f lands at offset (f + j) * hop.
+    chunks = frames.reshape(B, n_frames, k, hop)
+    y = jnp.zeros((B, n_frames + k - 1, hop), frames.dtype)
+    for j in range(k):
+        y = y.at[:, j:j + n_frames, :].add(chunks[:, :, j, :])
+    y = y.reshape(B, (n_frames + k - 1) * hop)[:, :total]
     wss = jnp.asarray(_window_sumsquare(n_fft, win_length, hop, n_frames))
     return y / wss[None, :]
 

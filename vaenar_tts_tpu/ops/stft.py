@@ -50,6 +50,28 @@ def preemphasis(y: jnp.ndarray, coef: float) -> jnp.ndarray:
                            axis=-1)
 
 
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """[B, T] (already padded) -> frames [B, F, n_fft] by gather.
+
+    Framing + windowed-DFT as gather + ONE dense matmul maps directly onto
+    the MXU; a strided conv with a 2048-wide kernel expresses the same math
+    but stresses the TPU conv lowering (observed device faults), so the
+    matmul form is the production path."""
+    T = y.shape[1]
+    n_frames = 1 + (T - n_fft) // hop
+    starts = jnp.arange(n_frames) * hop  # [F]
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [F, n_fft]
+    return y[:, idx]  # [B, F, n_fft]
+
+
+def batched_stft_ri(y: jnp.ndarray, n_fft: int, hop: int, win_length: int
+                    ) -> jnp.ndarray:
+    """Real/imag STFT of pre-padded signals: [B, T] -> [B, F, 2*bins]."""
+    frames = frame_signal(y, n_fft, hop)
+    basis = jnp.asarray(_dft_filters(n_fft, win_length))[:, 0, :].T
+    return jnp.matmul(frames, basis, precision=jax.lax.Precision.HIGHEST)
+
+
 def batched_stft_magnitude(y: jnp.ndarray, n_fft: int, hop: int,
                            win_length: int, center: bool = True
                            ) -> jnp.ndarray:
@@ -58,16 +80,10 @@ def batched_stft_magnitude(y: jnp.ndarray, n_fft: int, hop: int,
         y = y[None]
     if center:
         y = jnp.pad(y, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    filters = jnp.asarray(_dft_filters(n_fft, win_length))
-    # conv: [B, 1, T] * [2*bins, 1, n_fft] stride hop -> [B, 2*bins, F]
-    out = jax.lax.conv_general_dilated(
-        y[:, None, :], filters, window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)
+    out = batched_stft_ri(y, n_fft, hop, win_length)  # [B, F, 2*bins]
     n_bins = 1 + n_fft // 2
-    real, imag = out[:, :n_bins, :], out[:, n_bins:, :]
-    mag = jnp.sqrt(real ** 2 + imag ** 2 + 1e-30)
-    return mag.transpose(0, 2, 1)  # [B, F, bins]
+    real, imag = out[..., :n_bins], out[..., n_bins:]
+    return jnp.sqrt(real ** 2 + imag ** 2 + 1e-30)  # [B, F, bins]
 
 
 def batched_melspectrogram(y: jnp.ndarray, cfg: AudioConfig,
