@@ -63,7 +63,7 @@ class TestEndToEnd:
         from vaenar_tts_tpu.training.steps import make_inference_step
 
         hp = _small_hp()
-        model, params, batch_stats, epoch = load_model_state(
+        hp, model, params, batch_stats, epoch = load_model_state(
             hp, str(workspace / "ckpt"))
         inf = make_inference_step(hp, model)
         loader = BucketedLoader(

@@ -52,3 +52,20 @@ class TestMetrics:
         assert mcd(a, a) == pytest.approx(0.0, abs=1e-9)
         s = batch_summary([(a, a), (a, a + 0.1)])
         assert s["n"] == 2 and s["mel_l1"] == pytest.approx(0.05)
+
+
+class TestSerialize:
+    def test_roundtrip(self, tmp_path):
+        from vaenar_tts_tpu.configs.serialize import (load_hparams,
+                                                      save_hparams)
+        hp = apply_overrides(get_config("ljspeech"),
+                             ["prior.n_blk=9", "train.reduction_factors=4,2"])
+        save_hparams(hp, str(tmp_path))
+        hp2 = load_hparams(str(tmp_path))
+        assert hp2 == hp
+        assert hp2.prior.n_blk == 9
+        assert hp2.train.reduction_factors == (4, 2)
+
+    def test_missing_returns_none(self, tmp_path):
+        from vaenar_tts_tpu.configs.serialize import load_hparams
+        assert load_hparams(str(tmp_path)) is None

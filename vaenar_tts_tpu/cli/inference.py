@@ -36,7 +36,14 @@ from ..utils.checkpoint import CheckpointManager
 
 def load_model_state(hp, model_dir: str):
     """Restore the latest checkpoint for synthesis (the reference's
-    model-only expect_partial restore, inference.py:122-123)."""
+    model-only expect_partial restore, inference.py:122-123). If the model
+    dir carries an hparams.json (written by training), that resolved config
+    wins over the CLI preset - checkpoints from --override runs restore
+    exactly."""
+    from ..configs.serialize import load_hparams
+    saved = load_hparams(model_dir)
+    if saved is not None:
+        hp = saved
     model = VAENAR(hp)
     params, batch_stats = init_model(hp, model, hp.train.random_seed,
                                      text_max=hp.dataset.text_bucket,
@@ -49,13 +56,13 @@ def load_model_state(hp, model_dir: str):
     mgr.close()
     if r is None:
         raise FileNotFoundError(f"no checkpoint found in {model_dir}")
-    return model, r["params"], r["batch_stats"], int(r["epoch"])
+    return hp, model, r["params"], r["batch_stats"], int(r["epoch"])
 
 
 def inference_test(args) -> None:
     hp = get_config(args.dataset)
+    hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     tester = TestUtils(hp, args.test_dir)
-    model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     inf_step = make_inference_step(hp, model)
     r = hp.common.final_reduction_factor
 
@@ -114,8 +121,8 @@ def inference_test(args) -> None:
 
 def synthesize_from_text(args) -> None:
     hp = get_config(args.dataset)
+    hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     tester = TestUtils(hp, args.test_dir)
-    model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     inf_step = make_inference_step(hp, model)
     r = hp.common.final_reduction_factor
     corpus = CORPORA[args.dataset](None, None, hp)

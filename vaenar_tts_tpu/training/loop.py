@@ -28,6 +28,7 @@ import numpy as np
 
 from ..audio.export import TestUtils
 from ..configs.hparams import HParams
+from ..configs.serialize import save_hparams
 from ..data.loader import BucketedLoader
 from ..data.records import list_shards
 from ..models.vaenar import VAENAR
@@ -91,6 +92,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     opt_state = optimizer.init(params)
     state = TrainState(params, batch_stats, opt_state, epoch=0)
 
+    save_hparams(hp, model_dir)  # inference reconstructs this architecture
     ckpt = CheckpointManager(model_dir,
                              max_to_keep=hp.train.checkpoint_max_to_keep,
                              keep_every_n_hours=hp.train.checkpoint_keep_every_n_hours)
