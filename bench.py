@@ -20,6 +20,10 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vaenar_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import numpy as np
 

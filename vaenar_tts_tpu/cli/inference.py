@@ -177,7 +177,9 @@ def main(argv=None) -> None:
     parser.add_argument("--draw_alignments", action="store_true",
                         default=False)
     parser.add_argument("--jax_vocoder", action="store_true", default=False,
-                        help="batched on-device Griffin-Lim instead of CPU")
+                        help="batched on-device Griffin-Lim instead of CPU "
+                             "threads (experimental: validated on the CPU "
+                             "backend; known to fault tunnel-attached TPUs)")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles

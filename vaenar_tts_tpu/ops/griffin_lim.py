@@ -7,6 +7,13 @@ strided conv on the MXU (ops/stft.py), iSTFT as its transpose (overlap-add
 via conv_transpose with the windowed inverse-DFT basis), phase updates
 element-wise on the VPU, and the 60-iteration loop as a lax.fori_loop inside
 one jitted program.
+
+STATUS: numerically validated against the NumPy reference on the CPU backend
+(tests/test_griffin_lim.py). On the tunnel-attached TPU in this environment
+the compiled program faults the device (both the conv and the gather+matmul
+formulations), so the host NumPy vocoder remains the default synthesis path;
+--jax_vocoder is opt-in/experimental pending a run on directly-attached
+hardware.
 """
 
 from __future__ import annotations
