@@ -31,7 +31,10 @@ def main(argv=None) -> None:
     parser.add_argument("--num_workers", type=int, default=None)
     parser.add_argument("--device_mels", action="store_true", default=False,
                         help="batched mel extraction on the accelerator "
-                             "instead of host multiprocessing")
+                             "instead of host multiprocessing "
+                             "(validated on the CPU backend; tunnel-attached "
+                             "TPUs in this environment can be unstable "
+                             "with large one-off programs)")
     args = parser.parse_args(argv)
 
     hps = get_config(args.dataset)

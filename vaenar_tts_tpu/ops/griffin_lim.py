@@ -2,11 +2,10 @@
 
 The reference synthesizes waveforms with 60 Griffin-Lim iterations per
 utterance on CPU threads (reference audio/audio.py:95-102,
-audio/utils.py:24-40). Here the whole batch iterates on-device: STFT as a
-strided conv on the MXU (ops/stft.py), iSTFT as its transpose (overlap-add
-via conv_transpose with the windowed inverse-DFT basis), phase updates
-element-wise on the VPU, and the 60-iteration loop as a lax.fori_loop inside
-one jitted program.
+audio/utils.py:24-40). Here the whole batch iterates on-device: STFT as
+gather + one dense DFT matmul on the MXU (ops/stft.py), iSTFT as the inverse
+matmul + shifted slice-add overlap-add, phase updates element-wise on the
+VPU, and the 60-iteration loop as a lax.fori_loop inside one jitted program.
 
 STATUS: numerically validated against the NumPy reference on the CPU backend
 (tests/test_griffin_lim.py). On the tunnel-attached TPU in this environment
