@@ -127,3 +127,11 @@ def test_pad_to_multiple():
     assert pad_to_multiple(1, 120) == 120
     assert pad_to_multiple(120, 120) == 120
     assert pad_to_multiple(121, 120) == 240
+
+
+def test_empty_shard_reads_cleanly(tmp_path):
+    path = str(tmp_path / "train-0.vrs")
+    w = RecordShardWriter(path, num_mels=8)
+    w.close()
+    r = RecordShardReader(path)
+    assert len(r) == 0

@@ -103,12 +103,16 @@ class RecordShardReader:
         self.mel_offsets = np.asarray(h["mel_offsets"], np.int64)
         self.num_mels = h["num_mels"]
         self.mel_dtype = np.dtype(h["mel_dtype"])
-        total_text = int(self.text_lens.sum())
+        total_text = int(self.text_lens.sum()) if len(self.fids) else 0
+        total_mel = int(self.mel_lens.sum()) if len(self.fids) else 0
+        if total_text == 0:  # empty shard: memmap rejects zero-length maps
+            self._text_blob = np.zeros((0,), np.int32)
+            self._mel_blob = np.zeros((0, self.num_mels), self.mel_dtype)
+            return
         self._text_blob = np.memmap(
             path, dtype=np.int32, mode="r", offset=self._data_start,
             shape=(total_text,))
         mel_start = self._data_start + total_text * 4
-        total_mel = int(self.mel_lens.sum())
         self._mel_blob = np.memmap(
             path, dtype=self.mel_dtype, mode="r", offset=mel_start,
             shape=(total_mel, self.num_mels))
