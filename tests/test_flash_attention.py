@@ -63,3 +63,28 @@ def test_gradients_match_xla():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_module_level_equivalence():
+    """A full CrossAttentionBlock produces the same outputs with the fused
+    kernel and the XLA path, given identical params."""
+    import flax
+    from vaenar_tts_tpu.models.attention import CrossAttentionBlock
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((2, 32, 24)), jnp.float32)
+    qlen = jnp.array([50, 64])
+    mlen = jnp.array([32, 20])
+
+    blk_xla = CrossAttentionBlock(input_dim=16, attention_dim=16,
+                                  attention_heads=2, ffn_hidden=32,
+                                  use_pallas=False)
+    blk_pal = CrossAttentionBlock(input_dim=16, attention_dim=16,
+                                  attention_heads=2, ffn_hidden=32,
+                                  use_pallas=True)
+    v = blk_xla.init(jax.random.key(0), x, mem, qlen, mlen)
+    out_xla, _ = blk_xla.apply(v, x, mem, qlen, mlen)
+    out_pal, _ = blk_pal.apply(v, x, mem, qlen, mlen)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
+                               atol=5e-5)
