@@ -42,19 +42,22 @@ RecordWriter(root, f"{root}/records", train_split=4, num_mels=80).write_all()
 hp = get_config("ljspeech")
 hp = apply_overrides(hp, ["train.train_batch_size=16",
                           "train.test_batch_size=4",
-                          "train.test_interval=2",
-                          "train.reduction_factors=2",
-                          "train.reduce_interval=0"])
+                          "train.test_interval=39",
+                          "train.reduction_factors=5,4,3,2",
+                          "train.reduce_interval=0,10,20,30",
+                          # single max-pad bucket: 4 compiles (one per r)
+                          "dataset.mel_bucket=960",
+                          "dataset.text_bucket=192"])
 
 from vaenar_tts_tpu.training.loop import train  # noqa: E402
 
 t0 = time.time()
 state = train(hp, f"{root}/records", f"{root}/ckpt", f"{root}/logs",
-              test_dir=f"{root}/test_out", max_epochs=3)
+              test_dir=f"{root}/test_out", max_epochs=40, log_every=20)
 print(f"train run done in {time.time() - t0:.0f}s, final epoch {state.epoch}")
 
 state = train(hp, f"{root}/records", f"{root}/ckpt", f"{root}/logs",
-              test_dir=f"{root}/test_out", max_epochs=4)
+              test_dir=f"{root}/test_out", max_epochs=41, log_every=20)
 print("resume ok, epoch", state.epoch)
 arts = os.listdir(f"{root}/test_out")
 print("artifacts:", len(arts), sorted(arts)[:4])
