@@ -135,3 +135,22 @@ def test_empty_shard_reads_cleanly(tmp_path):
     w.close()
     r = RecordShardReader(path)
     assert len(r) == 0
+
+
+def test_float16_records_roundtrip(tmp_path, rng):
+    """fp16 storage: loader upcasts, native packer falls back to numpy."""
+    make_corpus_dir(tmp_path, n=10)
+    save = tmp_path / "rec16"
+    RecordWriter(str(tmp_path), str(save), train_split=1, num_mels=80,
+                 mel_dtype="float16").write_all()
+    shards = list_shards(str(save), "train")
+    r = RecordShardReader(shards[0])
+    u = r.get(0)
+    assert u.mel.dtype == np.float32  # reader upcasts
+    loader = BucketedLoader(shards, batch_size=2, seed=0)
+    b = next(iter(loader.epoch(0)))
+    assert b.mels.dtype == np.float32
+    # values match the fp32 originals to fp16 precision
+    orig = np.load(tmp_path / "mels" / f"{b.fids[0]}.npy")
+    np.testing.assert_allclose(b.mels[0, :b.mel_lengths[0]], orig.astype(
+        np.float16).astype(np.float32), atol=1e-6)

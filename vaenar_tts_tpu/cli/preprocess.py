@@ -29,6 +29,10 @@ def main(argv=None) -> None:
     parser.add_argument("--record_split", type=int, default=8,
                         help="number of train record shards")
     parser.add_argument("--num_workers", type=int, default=None)
+    parser.add_argument("--mel_dtype", type=str, default="float32",
+                        choices=["float32", "float16"],
+                        help="record storage dtype for mels (float16 halves "
+                             "shard size; loader upcasts to float32)")
     parser.add_argument("--device_mels", action="store_true", default=False,
                         help="batched mel extraction on the accelerator "
                              "instead of host multiprocessing "
@@ -45,7 +49,8 @@ def main(argv=None) -> None:
     print("Writing sharded records...")
     writer = RecordWriter(args.save_dir, args.save_dir,
                           train_split=args.record_split,
-                          num_mels=hps.audio.num_mels)
+                          num_mels=hps.audio.num_mels,
+                          mel_dtype=args.mel_dtype)
     paths = writer.write_all()
     for mode, ps in paths.items():
         print(f"  {mode}: {len(ps)} shard(s)")
