@@ -153,3 +153,33 @@ class TestCheckpoint:
                                                     np.asarray(b)),
             state.params, rs.params)
         mgr.close()
+
+
+class TestMultiSample:
+    def test_n_sample_2_forward(self):
+        """num_samples=2 exercises the tile-to-batch*n paths
+        (reference models.py:146-178)."""
+        import dataclasses
+        hp = tiny_test_config()
+        hp = hp.replace(train=dataclasses.replace(hp.train, num_samples=2))
+        model = VAENAR(hp)
+        params, batch_stats = init_model(hp, model, 0, T_TEXT, T_MEL)
+        rng = np.random.default_rng(1)
+        texts = jnp.asarray(rng.integers(1, hp.encoder.vocab_size,
+                                         (B, T_TEXT)), jnp.int32)
+        mels = jnp.asarray(rng.standard_normal((B, T_MEL, 80)) * 0.1,
+                           jnp.float32)
+        t_lens = jnp.array([12, 16], jnp.int32)
+        m_lens = jnp.array([50, 60], jnp.int32)
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, mels, m_lens, t_lens, reduction_factor=2, train=True,
+            reduce_loss=False,
+            rngs={"dropout": jax.random.key(0), "sample": jax.random.key(1)},
+            mutable=["batch_stats"])
+        dec, mel_l2, kl, len_l2, _ = outs
+        assert dec.shape == (B * 2, T_MEL, 80)
+        assert mel_l2.shape == (B,)
+        assert kl.shape == (B,)
+        assert np.isfinite(np.asarray(mel_l2)).all()
+        assert np.isfinite(np.asarray(kl)).all()
