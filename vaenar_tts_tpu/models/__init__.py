@@ -1,3 +1,13 @@
+from .alternatives import (
+    BahdanauAttention,
+    CBHGLayer,
+    CBHLayer,
+    ConvLengthPredictor,
+    HighwayLayer,
+    LSTMDecoder,
+    TacotronDecoder,
+    TacotronEncoder,
+)
 from .attention import (
     CrossAttentionBlock,
     MultiHeadAttention,
@@ -24,6 +34,14 @@ from .vaenar import VAENAR, merge_flow_init
 
 __all__ = [
     "VAENAR",
+    "BahdanauAttention",
+    "CBHGLayer",
+    "CBHLayer",
+    "ConvLengthPredictor",
+    "HighwayLayer",
+    "LSTMDecoder",
+    "TacotronDecoder",
+    "TacotronEncoder",
     "merge_flow_init",
     "CrossAttentionBlock",
     "MultiHeadAttention",

@@ -1,0 +1,268 @@
+"""Alternative (non-active-path) modules from the reference, kept for API
+completeness.
+
+The reference ships several modules its active VAENAR path never uses
+(SURVEY.md section 2.4): Bahdanau additive attention (attention.py:44-113),
+a Tacotron-style conv+BLSTM text encoder (encoder.py:25-55), LSTM and
+Tacotron decoders (decoder.py:57-153), a convolutional length predictor
+(length_predictor.py:5-27), and Highway/CBHG feature stacks
+(utils.py:118-236). They are provided here - TPU-idiomatically (lax.scan
+RNNs via flax nn.RNN, static shapes) - so users migrating experiments that
+touched these variants find them; none are wired into the VAENAR model.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import MASK_VALUE
+from .layers import Conv1D, PostNet, get_activation, sequence_mask
+
+Dtype = Any
+
+
+class BahdanauAttention(nn.Module):
+    """Additive attention (reference attention.py:44-113): score =
+    sum(v * tanh(Wq q + Wk k + b)); NOTE the reference attends over the
+    PROJECTED memory as values (:111), reproduced here."""
+
+    attention_dim: int
+    temperature: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, memory, memory_lengths=None,
+                 query_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        wq = nn.Dense(self.attention_dim, use_bias=False, dtype=self.dtype,
+                      name="query_layer")(inputs)  # [B, Tq, D]
+        wk = nn.Dense(self.attention_dim, use_bias=False, dtype=self.dtype,
+                      name="memory_layer")(memory)  # [B, Tk, D]
+        v = self.param("attention_v", nn.initializers.normal(1.0),
+                       (self.attention_dim,))
+        b = self.param("attention_b", nn.initializers.zeros,
+                       (self.attention_dim,))
+        energy = jnp.sum(
+            v * jnp.tanh(wq[:, :, None, :] + wk[:, None, :, :] + b),
+            axis=-1) / self.temperature  # [B, Tq, Tk]
+        B, Tq, Tk = energy.shape
+        mask = jnp.ones((B, Tq, Tk), bool)
+        if memory_lengths is not None:
+            mask &= sequence_mask(memory_lengths, Tk)[:, None, :]
+        if query_lengths is not None:
+            mask &= sequence_mask(query_lengths, Tq)[:, :, None]
+        energy = jnp.where(mask, energy, MASK_VALUE)
+        alignments = jax.nn.softmax(energy, axis=2)
+        contexts = jnp.einsum("bqk,bkd->bqd", alignments, wk)
+        return contexts, alignments
+
+
+class ConvLengthPredictor(nn.Module):
+    """Conv-stack length predictor (reference length_predictor.py:5-27)."""
+
+    n_conv: int = 2
+    conv_filter: int = 256
+    conv_kernel: int = 5
+    drop_rate: float = 0.4
+    activation: str = "relu"
+    bn_before_act: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, input_lengths=None, train: bool = False):
+        x = inputs
+        for i in range(self.n_conv):
+            x = Conv1D(self.conv_filter, self.conv_kernel, self.activation,
+                       self.drop_rate, self.bn_before_act, dtype=self.dtype,
+                       name=f"conv_{i}")(x, train=train)
+        proj = nn.Dense(1, dtype=self.dtype, name="projection")(x)
+        proj = proj.astype(jnp.float32)
+        max_time = inputs.shape[1]
+        if input_lengths is not None:
+            m = sequence_mask(input_lengths, max_time, jnp.float32)[..., None]
+        else:
+            m = jnp.ones_like(proj)
+        return jnp.sum(jnp.exp(proj) * m, axis=(1, 2))
+
+
+class HighwayLayer(nn.Module):
+    """relu(W1 x) * sigmoid(W2 x) + x * (1 - sigmoid(W2 x))
+    (reference utils.py:118-131)."""
+
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(self.out_dim, dtype=self.dtype,
+                             name="highway_relu")(x))
+        gate = nn.sigmoid(nn.Dense(self.out_dim, dtype=self.dtype,
+                                   name="highway_sigmoid")(x))
+        return h * gate + x * (1.0 - gate)
+
+
+class CBHLayer(nn.Module):
+    """Conv-bank + maxpool + projections + highway stack, no GRU
+    (reference utils.py:189-236)."""
+
+    n_convbank: int
+    bank_filters: int
+    proj_filters: int
+    proj_kernel: int
+    n_highwaylayer: int
+    highway_out_dim: int
+    drop_rate: float = 0.1
+    bn_before_act: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bank = [Conv1D(self.bank_filters, k + 1, "relu", self.drop_rate,
+                       self.bn_before_act, dtype=self.dtype,
+                       name=f"conv_layer_{k}")(x, train=train)
+                for k in range(self.n_convbank)]
+        y = jnp.concatenate(bank, axis=-1)
+        y = nn.max_pool(y, window_shape=(2,), strides=(1,), padding="SAME")
+        y = Conv1D(self.proj_filters, self.proj_kernel, "relu",
+                   self.drop_rate, self.bn_before_act, dtype=self.dtype,
+                   name="projection1")(y, train=train)
+        y = Conv1D(self.proj_filters, self.proj_kernel, None, self.drop_rate,
+                   self.bn_before_act, dtype=self.dtype,
+                   name="projection2")(y, train=train)
+        h = y + x
+        for i in range(self.n_highwaylayer):
+            h = HighwayLayer(self.highway_out_dim, dtype=self.dtype,
+                             name=f"highway{i}")(h)
+        return h
+
+
+class CBHGLayer(nn.Module):
+    """CBH + bidirectional GRU (reference utils.py:134-186)."""
+
+    n_convbank: int
+    bank_filters: int
+    proj_filters: int
+    proj_kernel: int
+    n_highwaylayer: int
+    highway_out_dim: int
+    gru_hidden: int
+    drop_rate: float = 0.1
+    bn_before_act: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = CBHLayer(self.n_convbank, self.bank_filters, self.proj_filters,
+                     self.proj_kernel, self.n_highwaylayer,
+                     self.highway_out_dim, self.drop_rate,
+                     self.bn_before_act, dtype=self.dtype, name="cbh")(
+            x, train=train)
+        gru = nn.Bidirectional(
+            nn.RNN(nn.GRUCell(self.gru_hidden)),
+            nn.RNN(nn.GRUCell(self.gru_hidden)), name="bi_gru")
+        return gru(h)
+
+
+class TacotronEncoder(nn.Module):
+    """Embedding -> conv stack -> BLSTM (reference encoder.py:25-55)."""
+
+    vocab_size: int
+    embd_dim: int
+    n_conv: int
+    conv_filter: int
+    conv_kernel: int
+    lstm_hidden: int
+    drop_rate: float = 0.1
+    bn_before_act: bool = False
+    conv_activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, input_lengths=None, train: bool = False):
+        x = nn.Embed(self.vocab_size, self.embd_dim, dtype=self.dtype,
+                     name="text_init_encoding")(inputs)
+        for i in range(self.n_conv):
+            x = Conv1D(self.conv_filter, self.conv_kernel,
+                       self.conv_activation, self.drop_rate,
+                       self.bn_before_act, dtype=self.dtype,
+                       name=f"conv_{i}")(x, train=train)
+        blstm = nn.Bidirectional(
+            nn.RNN(nn.OptimizedLSTMCell(self.lstm_hidden)),
+            nn.RNN(nn.OptimizedLSTMCell(self.lstm_hidden)),
+            name="blstm_layer")
+        return blstm(x)
+
+
+class LSTMDecoder(nn.Module):
+    """LSTM -> Bahdanau attention -> 2x LSTM -> projection
+    (reference decoder.py:115-153)."""
+
+    in_lstm_hidden: int
+    attention_dim: int
+    attention_temperature: float
+    n_dec_lstm: int
+    dec_lstm_hidden: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, text_embd, z_lengths=None, text_lengths=None):
+        h = nn.RNN(nn.OptimizedLSTMCell(self.in_lstm_hidden),
+                   name="initial_lstm")(inputs)
+        contexts, alignments = BahdanauAttention(
+            self.attention_dim, self.attention_temperature, dtype=self.dtype,
+            name="lstm_decoder_attention")(h, text_embd,
+                                           memory_lengths=text_lengths)
+        y = jnp.concatenate([h, contexts], axis=2)
+        for i in range(self.n_dec_lstm):
+            y = nn.RNN(nn.OptimizedLSTMCell(self.dec_lstm_hidden),
+                       name=f"dec_lstm_{i}")(y)
+        proj_in = jnp.concatenate([y, contexts], axis=2)
+        outputs = nn.Dense(self.out_dim, dtype=self.dtype,
+                           name="output_projection")(proj_in)
+        return outputs, alignments
+
+
+class TacotronDecoder(nn.Module):
+    """LSTM -> attention -> 2x LSTM -> attention -> projection -> postnet
+    residual (reference decoder.py:57-112)."""
+
+    in_lstm_hidden: int
+    attention_dim: int
+    attention_temperature: float
+    dec_n_lstm: int
+    dec_lstm_hidden: int
+    n_conv: int
+    conv_filters: int
+    conv_kernel: int
+    out_dim: int
+    drop_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, text_embd, z_lengths=None, text_lengths=None,
+                 train: bool = False):
+        h = nn.RNN(nn.OptimizedLSTMCell(self.in_lstm_hidden),
+                   name="input_lstm")(inputs)
+        ctx1, ali1 = BahdanauAttention(
+            self.attention_dim, self.attention_temperature, dtype=self.dtype,
+            name="dec_attention_1")(h, text_embd, memory_lengths=text_lengths)
+        y = jnp.concatenate([h, ctx1], axis=2)
+        for i in range(self.dec_n_lstm):
+            y = nn.RNN(nn.OptimizedLSTMCell(self.dec_lstm_hidden),
+                       name=f"dec_lstm_{i}")(y)
+        ctx2, ali2 = BahdanauAttention(
+            self.attention_dim, self.attention_temperature, dtype=self.dtype,
+            name="dec_attention_2")(y, text_embd, memory_lengths=text_lengths)
+        proj_in = jnp.concatenate([y, ctx2], axis=2)
+        pre = nn.Dense(self.out_dim, dtype=self.dtype,
+                       name="pre_projection")(proj_in)
+        post = PostNet(self.n_conv, self.conv_filters, self.conv_kernel,
+                       self.drop_rate, dtype=self.dtype,
+                       name="decoder_postnet")(pre, train=train)
+        residual = nn.Dense(self.out_dim, dtype=self.dtype,
+                            name="post_projection")(post)
+        return pre + residual, [ali1, ali2]
