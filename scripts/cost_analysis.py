@@ -1,0 +1,52 @@
+"""XLA cost analysis of the jitted train/synthesis steps: FLOPs, HBM bytes,
+and arithmetic intensity at the flagship config."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vaenar_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+import numpy as np
+from vaenar_tts_tpu.configs import get_config
+from vaenar_tts_tpu.models import VAENAR
+from vaenar_tts_tpu.training.steps import (init_model, make_optimizer,
+                                           make_train_step, make_test_step)
+
+B, TT, TM, R = 32, 128, 720, 2
+hp = get_config("ljspeech")
+model = VAENAR(hp)
+params, bs = init_model(hp, model, 0, TT, TM)
+opt = make_optimizer(hp)
+ostate = opt.init(params)
+rng = np.random.default_rng(0)
+texts = jnp.asarray(rng.integers(1, 43, (B, TT)), jnp.int32)
+mels = jnp.asarray(rng.standard_normal((B, TM, 80)) * 0.1, jnp.float32)
+tl = jnp.full((B,), TT, jnp.int32)
+ml = jnp.full((B,), TM, jnp.int32)
+k = jax.random.key(0)
+
+train_step = make_train_step(hp, model, opt, donate=False)
+lowered = jax.jit(
+    lambda p, b, o: train_step(p, b, o, texts, mels, tl, ml,
+                               jnp.float32(1e-5), k, reduction_factor=R)
+).lower(params, bs, ostate)
+ca = lowered.compile().cost_analysis()
+def fmt(ca, secs):
+    fl = ca.get("flops", 0.0); by = ca.get("bytes accessed", 0.0)
+    print(f"  flops/step: {fl/1e9:.1f} GFLOP   hbm bytes: {by/1e6:.0f} MB   "
+          f"intensity: {fl/max(by,1):.0f} flop/B")
+    print(f"  at measured {secs*1e3:.1f} ms -> {fl/secs/1e12:.1f} TFLOP/s, "
+          f"{by/secs/1e9:.0f} GB/s")
+print("train step (batch 32, mel 720, r=2):")
+fmt(ca, 0.00493)
+
+test_step = make_test_step(hp, model)
+B2 = 16
+texts2 = texts[:B2]; tl2 = tl[:B2]; ml2 = ml[:B2]
+lowered = jax.jit(
+    lambda p, b: test_step(p, b, texts2, tl2, ml2, k, reduction_factor=R,
+                           max_mel_length=TM)
+).lower(params, bs)
+ca2 = lowered.compile().cost_analysis()
+print("synthesis step (batch 16, mel 720, r=2):")
+fmt(ca2, 0.00096)
