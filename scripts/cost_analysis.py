@@ -26,10 +26,9 @@ ml = jnp.full((B,), TM, jnp.int32)
 k = jax.random.key(0)
 
 train_step = make_train_step(hp, model, opt, donate=False)
-lowered = jax.jit(
-    lambda p, b, o: train_step(p, b, o, texts, mels, tl, ml,
-                               jnp.float32(1e-5), k, reduction_factor=R)
-).lower(params, bs, ostate)
+# lower the jitted step itself: hits the persistent compile cache
+lowered = train_step.lower(params, bs, ostate, texts, mels, tl, ml,
+                           jnp.float32(1e-5), k, reduction_factor=R)
 ca = lowered.compile().cost_analysis()
 def fmt(ca, secs):
     fl = ca.get("flops", 0.0); by = ca.get("bytes accessed", 0.0)
@@ -43,10 +42,8 @@ fmt(ca, 0.00493)
 test_step = make_test_step(hp, model)
 B2 = 16
 texts2 = texts[:B2]; tl2 = tl[:B2]; ml2 = ml[:B2]
-lowered = jax.jit(
-    lambda p, b: test_step(p, b, texts2, tl2, ml2, k, reduction_factor=R,
-                           max_mel_length=TM)
-).lower(params, bs)
+lowered = test_step.lower(params, bs, texts2, tl2, ml2, k,
+                          reduction_factor=R, max_mel_length=TM)
 ca2 = lowered.compile().cost_analysis()
 print("synthesis step (batch 16, mel 720, r=2):")
 fmt(ca2, 0.00096)
