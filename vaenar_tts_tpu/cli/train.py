@@ -38,6 +38,10 @@ def main(argv=None) -> None:
     parser.add_argument("--log_dir", type=str, required=True)
     parser.add_argument("--test_dir", type=str, default=None)
     parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--steps_per_epoch", type=int, default=None,
+                        help="truncate epochs (smoke tests)")
+    parser.add_argument("--log_every", type=int, default=50,
+                        help="per-step console loss cadence")
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["float32", "bfloat16"])
     parser.add_argument("--override", action="append", default=[],
@@ -71,7 +75,8 @@ def main(argv=None) -> None:
     Logger(args.log_dir).install()
 
     train(hparams, args.data_dir, args.model_dir, args.log_dir,
-          test_dir=args.test_dir, max_epochs=args.max_epochs)
+          test_dir=args.test_dir, max_epochs=args.max_epochs,
+          steps_per_epoch=args.steps_per_epoch, log_every=args.log_every)
 
 
 if __name__ == "__main__":
