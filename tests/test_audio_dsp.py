@@ -141,3 +141,16 @@ class TestPipeline:
         # spectral convergence
         err = np.linalg.norm(mag - mag2[:, : mag.shape[1]]) / np.linalg.norm(mag)
         assert err < 0.25
+
+
+def test_roundtrip_report_runs(cfg_module=None):
+    """The mel->linear diagnostic (reference Audio.test, audio.py:48-72)
+    reports a small relative error for a pure tone."""
+    from vaenar_tts_tpu.audio import AudioProcessor
+    from vaenar_tts_tpu.configs import get_config
+    ap = AudioProcessor(get_config("ljspeech").audio)
+    y = np.sin(2 * np.pi * 440 * np.arange(22050) / 22050).astype(np.float32)
+    err = ap.roundtrip_report(y)
+    # mel->linear via pinv is lossy by construction; relative to the ~255
+    # peak magnitude this is sub-percent
+    assert err < 2.0

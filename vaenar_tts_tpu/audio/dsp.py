@@ -287,6 +287,22 @@ class AudioProcessor:
 
     # -- misc -------------------------------------------------------------------
 
+    def roundtrip_report(self, y: np.ndarray, clip_norm: bool = True) -> float:
+        """Diagnostic mel->linear round-trip error (reference audio.py:48-72,
+        Audio.test): returns mean |linear - mel_to_linear(mel)| and prints
+        the value ranges along the chain."""
+        D = self._stft(y)
+        src = np.abs(D)
+        mel_db = self.amp_to_db(self.linear_to_mel(src)) - self.cfg.ref_level_db
+        S = self.normalize(mel_db) if clip_norm else mel_db
+        back = self.denormalize(S) if clip_norm else S
+        linear_re = self.mel_to_linear(self.db_to_amp(back + self.cfg.ref_level_db))
+        err = float(np.mean(np.abs(src - linear_re)))
+        print(f"linear range [{src.min():.4g}, {src.max():.4g}], "
+              f"mel-db range [{mel_db.min():.4g}, {mel_db.max():.4g}], "
+              f"roundtrip mean abs err {err:.4g}")
+        return err
+
     def mfcc(self, y: np.ndarray) -> np.ndarray:
         """MFCCs + deltas + delta-deltas, [3*n_mfcc, n_frames]
         (reference audio.py:244-257; delta via simple central differences in
