@@ -151,14 +151,20 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         epoch_start = time.time()
         sums: Dict[str, float] = {}
         n_steps = 0
-        for batch in prefetch(train_loader.epoch(epoch)):
+        def to_device(batches):
+            # host->device copies enqueue from the prefetch thread, one batch
+            # ahead of compute (JAX dispatch is thread-safe + async)
+            for b in batches:
+                yield (jnp.asarray(b.texts), jnp.asarray(b.mels),
+                       jnp.asarray(b.text_lengths), jnp.asarray(b.mel_lengths))
+
+        for texts_d, mels_d, tlens_d, mlens_d in prefetch(
+                to_device(train_loader.epoch(epoch))):
             rng, sub = jax.random.split(rng)
             step_start = time.time()
             p, bs, os_, m = train_step(
                 state.params, state.batch_stats, state.opt_state,
-                jnp.asarray(batch.texts), jnp.asarray(batch.mels),
-                jnp.asarray(batch.text_lengths),
-                jnp.asarray(batch.mel_lengths),
+                texts_d, mels_d, tlens_d, mlens_d,
                 jnp.float32(kl_weight), sub, reduction_factor=r)
             state = TrainState(p, bs, os_, epoch=state.epoch)
             n_steps += 1
