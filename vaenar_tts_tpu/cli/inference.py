@@ -77,11 +77,18 @@ def inference_test(args) -> None:
         hp.dataset.mel_bucket)
     rng = jax.random.key(0)
 
-    # warm-up compile (reference inference.py:146-147)
-    first = next(iter(loader.epoch(0)))
-    inf_step(params, batch_stats, jnp.asarray(first.texts),
-             jnp.asarray(first.text_lengths), rng, reduction_factor=r,
-             max_mel_length=max_mel, temperature=args.temperature)
+    # warm-up compile, once per distinct bucketed shape, so the RTF loop
+    # times pure synthesis (generalizes reference inference.py:146-147,
+    # whose single-batch warm-up under-covers bucketed loaders)
+    seen_shapes = set()
+    for batch in loader.epoch(0):
+        key = batch.texts.shape[1]
+        if key in seen_shapes:
+            continue
+        seen_shapes.add(key)
+        inf_step(params, batch_stats, jnp.asarray(batch.texts),
+                 jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
+                 max_mel_length=max_mel, temperature=args.temperature)
 
     time_consumed = 0.0
     durations = 0.0
