@@ -98,9 +98,13 @@ def inference_test(args) -> None:
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
             max_mel_length=max_mel, temperature=args.temperature)
+        jax.block_until_ready(mels)
+        # RTF times device synthesis only (the reference also excludes the
+        # host pull: its .numpy() happens inside write_mels,
+        # inference.py:152-157)
+        time_consumed += time.time() - t0
         mels = np.asarray(mels, np.float32)
         pred_lens = np.asarray(pred_lens)
-        time_consumed += time.time() - t0
         durations += (pred_lens[:batch.n_valid].sum()
                       * hp.audio.frame_shift_sample / hp.audio.sample_rate)
         ids = batch.fids[:batch.n_valid]
