@@ -1,3 +1,4 @@
+from .ring_attention import ring_self_attention
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "ring_self_attention",
     "batch_sharding",
     "make_mesh",
     "param_sharding_rules",

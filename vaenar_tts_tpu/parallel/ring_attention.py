@@ -1,0 +1,94 @@
+"""Ring self-attention: sequence parallelism over the device mesh.
+
+Beyond-parity capability (the reference caps sequence length via the
+reduction-factor trick; SURVEY.md section 5 marks sequence parallelism out of
+parity scope). This shards the TIME axis of q/k/v over a mesh axis and runs
+blockwise attention with an online-softmax accumulator while k/v blocks
+rotate around the ring via ppermute - the collective rides ICI, VMEM holds
+only one [T/n, T/n] score block per step, and the result is bitwise-comparable
+(up to fp reassociation) to full masked attention.
+
+Masking matches models/attention.py semantics: additive finite NEG over
+length + causal masks, so fully-masked query rows degrade to uniform
+attention exactly like the single-device path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.attention import MASK_VALUE
+
+
+def _local_ring_attention(q_l, k_l, v_l, lengths, *, scale: float,
+                          causal: bool, axis: str):
+    """Per-shard body (inside shard_map). q_l/k_l/v_l: [B, H, Tl, D] local
+    blocks of a T-sharded global array; lengths: [B] replicated."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    B, H, Tl, D = q_l.shape
+    q32 = q_l.astype(jnp.float32)
+    q_pos = idx * Tl + jnp.arange(Tl)  # global positions of local queries
+    q_valid = q_pos[None, :] < lengths[:, None]  # [B, Tl]
+
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def step(carry, i):
+        kb, vb, m, s, o = carry
+        # the block we currently hold originated at shard (idx - i) mod n
+        src = (idx - i) % n
+        k_pos = src * Tl + jnp.arange(Tl)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q32, kb.astype(jnp.float32),
+                            preferred_element_type=jnp.float32) * scale
+        mask = (k_pos[None, :] < lengths[:, None])[:, None, None, :]
+        mask = jnp.logical_and(mask, q_valid[:, None, :, None])
+        if causal:
+            mask = jnp.logical_and(
+                mask, k_pos[None, None, None, :] <= q_pos[None, None, :, None])
+        logits = jnp.where(mask, logits, MASK_VALUE)
+
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m - m_new)  # rescale old accumulators
+        p = jnp.exp(logits - m_new[..., None])
+        s_new = s * alpha + jnp.sum(p, axis=-1)
+        o_new = o * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        kb_next = jax.lax.ppermute(kb, axis, perm)
+        vb_next = jax.lax.ppermute(vb, axis, perm)
+        return (kb_next, vb_next, m_new, s_new, o_new), None
+
+    m0 = jnp.full((B, H, Tl), MASK_VALUE, jnp.float32)
+    s0 = jnp.zeros((B, H, Tl), jnp.float32)
+    o0 = jnp.zeros((B, H, Tl, D), jnp.float32)
+    (_, _, m, s, o), _ = jax.lax.scan(
+        step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
+    out = o / jnp.maximum(s, 1e-30)[..., None]
+    return out.astype(q_l.dtype)
+
+
+def ring_self_attention(q, k, v, lengths, mesh: Mesh, *, scale: float = 1.0,
+                        causal: bool = False, axis: str = "model"):
+    """Sequence-parallel masked self-attention.
+
+    q, k, v: [B, H, T, D] with T divisible by mesh.shape[axis]; lengths [B].
+    Returns contexts [B, H, T, D], time-sharded over ``axis``.
+    """
+    n = mesh.shape[axis]
+    assert q.shape[2] % n == 0, (q.shape, n)
+    fn = functools.partial(_local_ring_attention, scale=scale, causal=causal,
+                           axis=axis)
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
+                  P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+    return shard(q, k, v, lengths)
