@@ -79,3 +79,37 @@ def test_tp_sharding_rules_only_hit_wide_kernels():
     sharded = [jax.tree_util.keystr(p) for p, s in flat if s.spec != P()]
     # tiny config has no >=512 dims: everything replicated
     assert sharded == []
+
+
+def test_sequence_sharded_forward_matches():
+    """Full-model ELBO with the mel TIME axis sharded over the mesh
+    ('sp' via GSPMD: XLA inserts the attention collectives) matches the
+    replicated result."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    model = VAENAR(HP)
+    params, batch_stats = init_model(HP, model, 0, T_TEXT, T_MEL)
+    texts, mels, t_lens, m_lens = _batch(seed=11)
+    rng = jax.random.key(3)
+
+    def fwd(params, batch_stats, texts, mels, t_lens, m_lens):
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, mels, m_lens, t_lens, reduction_factor=2, train=False,
+            reduce_loss=True, rngs={"sample": rng})
+        _dec, mel_l2, kl, len_l2, _ = outs
+        return mel_l2, kl, len_l2
+
+    ref = jax.jit(fwd)(params, batch_stats, texts, mels, t_lens, m_lens)
+
+    mesh = make_mesh(data=2, model=4)
+    rep = NamedSharding(mesh, P())
+    seq_sh = NamedSharding(mesh, P("data", "model", None))  # [B, T, mel]
+    b_sh = NamedSharding(mesh, P("data"))
+    args = (jax.device_put(params, rep), jax.device_put(batch_stats, rep),
+            jax.device_put(texts, b_sh), jax.device_put(mels, seq_sh),
+            jax.device_put(t_lens, b_sh), jax.device_put(m_lens, b_sh))
+    sharded = jax.jit(fwd)(*args)
+    for a, b in zip(ref, sharded):
+        assert float(a) == pytest.approx(float(b), rel=2e-3), (a, b)
