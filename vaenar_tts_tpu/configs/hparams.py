@@ -54,6 +54,9 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # transformer matmul dtype; flow stays fp32
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
+    # reference saves every epoch (train.py:304-306); raise when epochs are
+    # seconds long and the save dominates wall time
+    checkpoint_every_n_epochs: int = 1
 
     def kl_weight_at(self, epoch: int) -> float:
         """KL-anneal schedule (reference train.py:229-233, :270)."""

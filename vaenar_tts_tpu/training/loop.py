@@ -204,7 +204,9 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         metrics_dev.scalars(epoch, dev_avg)
 
         state.epoch = epoch
-        ckpt.save(epoch, state.as_dict())
+        if (epoch % hp.train.checkpoint_every_n_epochs == 0
+                or epoch == total_epochs - 1):
+            ckpt.save(epoch, state.as_dict())
 
         if epoch % hp.train.test_interval == 0 and test_dir:
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
