@@ -142,7 +142,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     total_epochs = max_epochs if max_epochs is not None else hp.train.epochs
     for epoch in range(state.epoch + 1, total_epochs):
         if stop_requested["flag"]:
-            ckpt.save(state.epoch, state.as_dict())
+            ckpt.save(state.epoch, state.as_dict(), wait=True)
             print(f"preemption checkpoint saved at epoch {state.epoch}")
             break
         kl_weight = hp.train.kl_weight_at(epoch)

@@ -29,17 +29,25 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.model_dir, options=options)
 
-    def save(self, epoch: int, state: Dict[str, Any]) -> None:
+    def save(self, epoch: int, state: Dict[str, Any],
+             wait: bool = False) -> None:
+        """Async save: Orbax copies device->host synchronously inside save()
+        (so donated training buffers stay safe) and writes to disk in the
+        background, overlapping the next epoch. A subsequent save or close()
+        joins the in-flight write."""
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, abstract_state: Dict[str, Any],
                 epoch: Optional[int] = None) -> Optional[Dict[str, Any]]:
         """Restore the given (or latest) checkpoint into the structure of
         ``abstract_state`` (a pytree of arrays or ShapeDtypeStructs)."""
+        self._mgr.wait_until_finished()  # join any in-flight async save
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             return None
@@ -48,4 +56,5 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(ref))
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
