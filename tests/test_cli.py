@@ -1,0 +1,76 @@
+"""CLI-surface tests: drive the actual preprocess/train/inference mains
+in-process with a synthetic corpus (this layer carried the round-1
+override/restore bug; lock it)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_corpus import make_lj_corpus
+
+TINY_OVERRIDES = []
+for kv in [
+    "encoder.embd_dim=32", "encoder.pre_hidden=32", "encoder.n_conv=1",
+    "encoder.n_blk=1", "encoder.attention_dim=16", "encoder.attention_heads=2",
+    "encoder.ffn_hidden=32", "decoder.nblk=1", "decoder.attention_dim=16",
+    "decoder.attention_heads=2", "decoder.ffn_hidden=32",
+    "decoder.post_n_conv=1", "decoder.post_conv_filters=16",
+    "posterior.pre_hidden=16", "posterior.nblk=1", "posterior.attention_dim=16",
+    "posterior.attention_heads=2", "posterior.ffn_hidden=32",
+    "prior.n_blk=1", "prior.n_transformer_blk=1", "prior.attention_dim=16",
+    "prior.attention_heads=2", "prior.ffn_hidden=32", "common.latent_dim=8",
+    "train.train_batch_size=4", "train.test_batch_size=2",
+    "train.compute_dtype=float32", "train.test_interval=1000",
+]:
+    TINY_OVERRIDES += ["--override", kv]
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = root / "LJx"
+    corpus.mkdir()
+    make_lj_corpus(corpus, n=12)
+    return root
+
+
+class TestCLISurface:
+    def test_preprocess_train_infer(self, workspace):
+        from vaenar_tts_tpu.cli import inference, preprocess, train
+
+        corpus = str(workspace / "LJx")
+        feats = str(workspace / "feats")
+        preprocess.main(["--dataset", "ljspeech", "--data_dir", corpus,
+                         "--save_dir", feats, "--record_split", "2",
+                         "--num_workers", "1"])
+        assert os.path.isfile(os.path.join(feats, "train-1.vrs"))
+
+        model_dir = str(workspace / "ckpt")
+        train.main(["--dataset", "ljspeech", "--data_dir", feats,
+                    "--model_dir", model_dir,
+                    "--log_dir", str(workspace / "logs"),
+                    "--max_epochs", "2", "--steps_per_epoch", "1",
+                    *TINY_OVERRIDES])
+        assert os.path.isfile(os.path.join(model_dir, "hparams.json"))
+
+        out = str(workspace / "out")
+        inference.main(["--dataset", "ljspeech", "--data_dir", feats,
+                        "--model_dir", model_dir, "--test_dir", out,
+                        "--batch_size", "2"])
+        mels = [f for f in os.listdir(out) if f.endswith(".npy")]
+        assert mels, os.listdir(out)
+        # trimmed mel artifact loads and is finite
+        m = np.load(os.path.join(out, mels[0]))
+        assert m.ndim == 2 and m.shape[1] == 80 and np.isfinite(m).all()
+
+    def test_free_text_mode(self, workspace):
+        from vaenar_tts_tpu.cli import inference
+        lines = workspace / "lines.txt"
+        lines.write_text("Hello world.\n")
+        out = str(workspace / "freetext")
+        inference.main(["--dataset", "ljspeech",
+                        "--text", str(lines),
+                        "--model_dir", str(workspace / "ckpt"),
+                        "--test_dir", out])
+        assert any(f.endswith(".wav") for f in os.listdir(out))
