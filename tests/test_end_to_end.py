@@ -88,3 +88,38 @@ class TestEndToEnd:
             epoch, mels, np.minimum(pred_lens, 120), batch.fids, "prior")
         for p in wav_paths:
             assert os.path.getsize(p) > 1000  # non-trivial audio
+
+
+def test_quality_metrics_in_test_artifacts(workspace, tmp_path, monkeypatch):
+    """The periodic test eval writes mel-L1/MCD quality scalars."""
+    import jax
+
+    from vaenar_tts_tpu.audio.export import TestUtils
+    from vaenar_tts_tpu.cli.inference import load_model_state
+    from vaenar_tts_tpu.data import BucketedLoader
+    from vaenar_tts_tpu.training.loop import _run_test_artifacts
+    from vaenar_tts_tpu.training.steps import TrainState, make_test_step
+    from vaenar_tts_tpu.utils.logging import MetricsWriter
+
+    hp = _small_hp()
+    hp, model, params, batch_stats, _ = load_model_state(
+        hp, str(workspace / "ckpt"))
+    state = TrainState(params, batch_stats, None, epoch=7)
+    loader = BucketedLoader(
+        list_shards(str(workspace / "records"), "test"), 2,
+        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        shuffle=False)
+    tester = TestUtils(hp, str(tmp_path / "arts"))
+    # skip Griffin-Lim (slow, covered elsewhere)
+    monkeypatch.setattr(tester, "synthesize_and_save_wavs",
+                        lambda *a, **k: [])
+    writer = MetricsWriter(str(tmp_path / "m"), use_tensorboard=False)
+    _run_test_artifacts(hp, state, make_test_step(hp, model), loader, tester,
+                        epoch=7, r=2, rng=jax.random.key(0),
+                        metrics_writer=writer)
+    writer.close()
+    import json
+    recs = [json.loads(l) for l in
+            (tmp_path / "m" / "metrics.jsonl").read_text().splitlines()]
+    assert recs and "test_mel_l1" in recs[-1] and "test_mcd_db" in recs[-1]
+    assert np.isfinite(recs[-1]["test_mcd_db"])

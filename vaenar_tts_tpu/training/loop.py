@@ -210,7 +210,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
 
         if epoch % hp.train.test_interval == 0 and test_dir:
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
-                                epoch, r, rng)
+                                epoch, r, rng, metrics_writer=metrics_dev)
         if stop_requested["flag"]:
             print(f"stopping after epoch {epoch} (preemption)")
             break
@@ -221,8 +221,10 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
 
 
 def _run_test_artifacts(hp, state, test_step, test_loader, tester, epoch, r,
-                        rng):
-    """Synthesize one test batch to wavs + plots (reference train.py:309-325)."""
+                        rng, metrics_writer=None):
+    """Synthesize one test batch to wavs + plots (reference train.py:309-325),
+    plus objective quality metrics vs ground truth (beyond reference, which
+    only eyeballs wavs): mel-L1/L2 and MCD over the valid frames."""
     try:
         batch = next(iter(test_loader.epoch(epoch)))
     except StopIteration:
@@ -232,6 +234,18 @@ def _run_test_artifacts(hp, state, test_step, test_loader, tester, epoch, r,
         jnp.asarray(batch.text_lengths), jnp.asarray(batch.mel_lengths), rng,
         reduction_factor=r, max_mel_length=batch.mels.shape[1])
     mels = np.asarray(mels, np.float32)
+
+    from ..utils.metrics import batch_summary
+    pairs = [(mels[i][: int(batch.mel_lengths[i])],
+              batch.mels[i][: int(batch.mel_lengths[i])])
+             for i in range(batch.n_valid)]
+    quality = batch_summary(pairs)
+    print(f"test quality @ epoch {epoch}: mel_l1 {quality['mel_l1']:.4f}, "
+          f"mcd {quality['mcd_db']:.2f} dB over {quality['n']} utts")
+    if metrics_writer is not None:
+        metrics_writer.scalars(epoch, {"test_mel_l1": quality["mel_l1"],
+                                       "test_mel_l2": quality["mel_l2"],
+                                       "test_mcd_db": quality["mcd_db"]})
     try:
         tester.synthesize_and_save_wavs(epoch, mels, batch.mel_lengths,
                                         batch.fids, "test")
