@@ -40,7 +40,7 @@ def main() -> None:
     TEXT_MAX = 128
     MEL_MAX = 720  # multiple of 60; ~8.4 s of audio per utterance
     R = hp.common.final_reduction_factor
-    ITERS = 20
+    ITERS = 50
 
     params, batch_stats = init_model(hp, model, 0, TEXT_MAX, MEL_MAX)
     rng_np = np.random.default_rng(0)
