@@ -175,18 +175,21 @@ class TextMelCorpus:
         from ..ops.stft import batched_melspectrogram
         cfg = self.hps.audio
         hop, n_fft = cfg.frame_shift_sample, cfg.n_fft
-        items = []
-        for wav_f in wav_list:
-            fid = os.path.basename(wav_f).rsplit(".", 1)[0]
-            y = self.audio_processor.load_wav(wav_f)
-            y = self.audio_processor.preemphasize(y).astype(np.float32)
-            y = np.pad(y, n_fft // 2, mode="reflect")
-            items.append((len(y), fid, y))
-        items.sort(key=lambda x: x[0])
+        # sort by file size (proportional to PCM length) so batches have
+        # near-uniform lengths WITHOUT loading every wav up front; wavs are
+        # then streamed per batch (peak RAM = one batch, not the corpus)
+        wav_list = sorted(wav_list, key=os.path.getsize)
         fn = jax.jit(lambda y: batched_melspectrogram(
             y, cfg, apply_preemphasis=False, center=False))
-        for i in range(0, len(items), batch_size):
-            chunk = items[i:i + batch_size]
+        for i in range(0, len(wav_list), batch_size):
+            chunk_paths = wav_list[i:i + batch_size]
+            chunk = []
+            for wav_f in chunk_paths:
+                fid = os.path.basename(wav_f).rsplit(".", 1)[0]
+                y = self.audio_processor.load_wav(wav_f)
+                y = self.audio_processor.preemphasize(y).astype(np.float32)
+                y = np.pad(y, n_fft // 2, mode="reflect")
+                chunk.append((len(y), fid, y))
             max_len = ((max(n for n, _, _ in chunk) + hop - 1) // hop) * hop
             batch = np.zeros((len(chunk), max_len), np.float32)
             for j, (n, _, y) in enumerate(chunk):
@@ -197,8 +200,8 @@ class TextMelCorpus:
                 np.save(os.path.join(self.mel_dir, fid + ".npy"),
                         mels[j, :n_frames])
             if (i // batch_size) % 20 == 0:
-                print(f"  device-extracted {min(i + batch_size, len(items))}"
-                      f"/{len(items)}")
+                print(f"  device-extracted "
+                      f"{min(i + batch_size, len(wav_list))}/{len(wav_list)}")
 
     # -- per-dataset hooks -----------------------------------------------------
 
