@@ -43,6 +43,10 @@ class Utterance:
 
 
 class RecordShardWriter:
+    """Buffers a shard's utterances in memory and writes once on close()
+    (an LJSpeech-sized train shard at the default 8-way split is ~350 MB;
+    raise ``record_split`` for corpora where that is too large)."""
+
     def __init__(self, path: str, num_mels: int, mel_dtype: str = "float32"):
         self.path = path
         self.num_mels = num_mels
