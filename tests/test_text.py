@@ -121,3 +121,12 @@ class TestPinyinParser:
         text = "000002 花儿#4。"
         out = parse_cn_prosody_label(text, "huar1")
         assert out == "huar1."
+
+
+def test_free_text_pinyin_requires_pypinyin():
+    """Free-text Mandarin g2p needs pypinyin (absent here); the error must
+    say so and note that corpus preprocessing does not need it."""
+    import pytest as _pytest
+    from vaenar_tts_tpu.text import text_to_pinyin
+    with _pytest.raises(ImportError, match="pypinyin"):
+        text_to_pinyin("你好")
