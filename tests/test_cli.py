@@ -64,6 +64,28 @@ class TestCLISurface:
         m = np.load(os.path.join(out, mels[0]))
         assert m.ndim == 2 and m.shape[1] == 80 and np.isfinite(m).all()
 
+    def test_bare_resume_uses_persisted_hparams(self, workspace, capsys):
+        """Resuming without repeating --override must restore the trained
+        architecture from the persisted hparams.json (round-2 regression:
+        the bare resume built a full-size model and crashed in Orbax restore;
+        worse, it clobbered hparams.json before failing)."""
+        import json
+
+        from vaenar_tts_tpu.cli import train
+        model_dir = str(workspace / "ckpt")  # trained by the test above
+        before = json.load(open(os.path.join(model_dir, "hparams.json")))
+        train.main(["--dataset", "ljspeech",
+                    "--data_dir", str(workspace / "feats"),
+                    "--model_dir", model_dir,
+                    "--log_dir", str(workspace / "logs"),
+                    "--max_epochs", "3", "--steps_per_epoch", "1"])
+        out = capsys.readouterr().out
+        assert "Resuming with persisted hparams.json" in out
+        assert "Restored from epoch" in out
+        after = json.load(open(os.path.join(model_dir, "hparams.json")))
+        assert after["encoder"]["embd_dim"] == 32
+        assert after == before
+
     def test_free_text_mode(self, workspace):
         from vaenar_tts_tpu.cli import inference
         lines = workspace / "lines.txt"

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..configs import get_config
 from ..configs.overrides import apply_overrides
+from ..configs.serialize import load_hparams
 from ..training.loop import train
 from ..utils.logging import Logger
 
@@ -63,7 +64,18 @@ def main(argv=None) -> None:
         import jax
         jax.distributed.initialize()
 
-    hparams = get_config(args.dataset)
+    # Resume: if the model_dir already holds a checkpoint, the persisted
+    # hparams.json is the base config, so a bare re-invocation restores the
+    # exact trained architecture without repeating every --override (the
+    # reference re-derives config from code on every run, train.py:50).
+    saved = load_hparams(args.model_dir)
+    has_ckpt = saved is not None and any(
+        e.isdigit() for e in os.listdir(args.model_dir))
+    if has_ckpt:
+        hparams = saved
+        print(f"Resuming with persisted hparams.json from {args.model_dir}")
+    else:
+        hparams = get_config(args.dataset)
     if args.compute_dtype:
         hparams = apply_overrides(
             hparams, [f"train.compute_dtype={args.compute_dtype}"])

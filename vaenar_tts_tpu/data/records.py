@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -43,36 +44,44 @@ class Utterance:
 
 
 class RecordShardWriter:
-    """Buffers a shard's utterances in memory and writes once on close()
-    (an LJSpeech-sized train shard at the default 8-way split is ~350 MB;
-    raise ``record_split`` for corpora where that is too large)."""
+    """Streams a shard to disk as utterances arrive: text/mel blobs spill to
+    sibling temp files during ``add`` and are stitched after the JSON header
+    on ``close`` — peak RAM is one utterance, not the shard (~350 MB for an
+    LJSpeech train shard at the default 8-way split). On-disk format is
+    unchanged (header first, then the two blobs)."""
 
     def __init__(self, path: str, num_mels: int, mel_dtype: str = "float32"):
         self.path = path
         self.num_mels = num_mels
         self.mel_dtype = mel_dtype
         self._fids: List[str] = []
-        self._texts: List[np.ndarray] = []
-        self._mels: List[np.ndarray] = []
+        self._text_lens: List[int] = []
+        self._mel_lens: List[int] = []
+        self._text_tmp = open(path + ".text.tmp", "wb")
+        self._mel_tmp = open(path + ".mel.tmp", "wb")
 
     def add(self, fid: str, text: np.ndarray, mel: np.ndarray) -> None:
         assert mel.ndim == 2 and mel.shape[1] == self.num_mels, mel.shape
+        text = np.ascontiguousarray(text, np.int32)
+        mel = np.ascontiguousarray(mel, self.mel_dtype)
         self._fids.append(fid)
-        self._texts.append(np.asarray(text, np.int32))
-        self._mels.append(np.asarray(mel, self.mel_dtype))
+        self._text_lens.append(len(text))
+        self._mel_lens.append(mel.shape[0])
+        self._text_tmp.write(text.tobytes())
+        self._mel_tmp.write(mel.tobytes())
 
     def close(self) -> None:
-        text_lens = [len(t) for t in self._texts]
-        mel_lens = [m.shape[0] for m in self._mels]
-        text_offsets = np.concatenate([[0], np.cumsum(text_lens)])[:-1]
-        mel_offsets = np.concatenate([[0], np.cumsum(mel_lens)])[:-1]
+        self._text_tmp.close()
+        self._mel_tmp.close()
+        text_offsets = np.concatenate([[0], np.cumsum(self._text_lens)])[:-1]
+        mel_offsets = np.concatenate([[0], np.cumsum(self._mel_lens)])[:-1]
         header = {
             "version": 1,
             "num_mels": self.num_mels,
             "mel_dtype": self.mel_dtype,
             "fids": self._fids,
-            "text_lens": [int(x) for x in text_lens],
-            "mel_lens": [int(x) for x in mel_lens],
+            "text_lens": [int(x) for x in self._text_lens],
+            "mel_lens": [int(x) for x in self._mel_lens],
             "text_offsets": [int(x) for x in text_offsets],
             "mel_offsets": [int(x) for x in mel_offsets],
         }
@@ -81,10 +90,10 @@ class RecordShardWriter:
             f.write(MAGIC)
             f.write(np.uint64(len(header_bytes)).tobytes())
             f.write(header_bytes)
-            if self._texts:
-                f.write(np.concatenate(self._texts).astype(np.int32).tobytes())
-                f.write(np.concatenate(self._mels, axis=0)
-                        .astype(self.mel_dtype).tobytes())
+            for tmp_path in (self.path + ".text.tmp", self.path + ".mel.tmp"):
+                with open(tmp_path, "rb") as tmp:
+                    shutil.copyfileobj(tmp, f, length=1 << 24)
+                os.remove(tmp_path)
 
 
 class RecordShardReader:

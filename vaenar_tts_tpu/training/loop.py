@@ -92,11 +92,13 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     opt_state = optimizer.init(params)
     state = TrainState(params, batch_stats, opt_state, epoch=0)
 
-    save_hparams(hp, model_dir)  # inference reconstructs this architecture
     ckpt = CheckpointManager(model_dir,
                              max_to_keep=hp.train.checkpoint_max_to_keep,
                              keep_every_n_hours=hp.train.checkpoint_keep_every_n_hours)
     restored = ckpt.restore(state.as_dict())
+    # persist only after the restore attempt: writing first would clobber the
+    # trained architecture's hparams.json when a mismatched resume crashes
+    save_hparams(hp, model_dir)  # inference reconstructs this architecture
     rng = jax.random.key(hp.train.random_seed)
     if restored is not None:
         state = TrainState.from_dict(restored)
@@ -183,9 +185,11 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         retrace.check(f"epoch {epoch}")
         metrics_train.scalars(epoch, train_avg)
 
-        # validation (reference train.py:287-296)
+        # validation (reference train.py:287-296). Per-batch means are
+        # weighted by n_valid so a 1-utterance tail batch does not count as
+        # much as a full one (the reference averages batch means equally).
         dev_sums: Dict[str, float] = {}
-        n_dev = 0
+        n_dev_utts = 0
         for batch in dev_loader.epoch(epoch):
             rng, sub = jax.random.split(rng)
             vmask = (np.arange(batch.texts.shape[0]) < batch.n_valid
@@ -197,9 +201,9 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                          jnp.float32(kl_weight), jnp.asarray(vmask), sub,
                          reduction_factor=r)
             for k, v in m.items():
-                dev_sums[k] = dev_sums.get(k, 0.0) + float(v)
-            n_dev += 1
-        dev_avg = {k: v / max(n_dev, 1) for k, v in dev_sums.items()}
+                dev_sums[k] = dev_sums.get(k, 0.0) + float(v) * batch.n_valid
+            n_dev_utts += batch.n_valid
+        dev_avg = {k: v / max(n_dev_utts, 1) for k, v in dev_sums.items()}
         print(f"Epoch {epoch} dev: {dev_avg}")
         metrics_dev.scalars(epoch, dev_avg)
 
