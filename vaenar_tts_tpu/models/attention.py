@@ -146,7 +146,7 @@ class SelfAttentionBlock(nn.Module):
         contexts = jnp.concatenate([inputs, att_outs], axis=-1)
         projected = nn.Dense(self.input_dim, dtype=self.dtype,
                              name="att_proj")(contexts)
-        normed = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(inputs + projected)
+        normed = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="layer_norm")(inputs + projected)
         ffn_outs = FFN(self.ffn_hidden, self.input_dim, dtype=self.dtype,
                        name="ffn")(normed)
         return ffn_outs, alignments
@@ -175,7 +175,7 @@ class CrossAttentionBlock(nn.Module):
             inputs, inputs, query_lengths, query_lengths, causal=True)
         contexts = jnp.concatenate([inputs, self_att], axis=-1)
         h = nn.Dense(self.input_dim, dtype=self.dtype, name="att_proj1")(contexts)
-        h = nn.LayerNorm(dtype=self.dtype, name="layer_norm1")(h + inputs)
+        h = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="layer_norm1")(h + inputs)
 
         cross_att, cross_ali = MultiHeadAttention(
             self.attention_dim, self.attention_heads,
@@ -184,7 +184,7 @@ class CrossAttentionBlock(nn.Module):
             h, memory, query_lengths, memory_lengths, causal=False)
         contexts2 = jnp.concatenate([h, cross_att], axis=-1)
         h2 = nn.Dense(self.attention_dim, dtype=self.dtype, name="att_proj2")(contexts2)
-        h2 = nn.LayerNorm(dtype=self.dtype, name="layer_norm2")(h2 + h)
+        h2 = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="layer_norm2")(h2 + h)
 
         ffn_outs = FFN(self.ffn_hidden, self.attention_dim, dtype=self.dtype,
                        name="ffn")(h2)

@@ -139,7 +139,9 @@ class FFN(nn.Module):
         y = nn.Dense(self.hidden1, dtype=self.dtype, name="dense1")(x)
         y = nn.relu(y)
         y = nn.Dense(self.hidden2, dtype=self.dtype, name="dense2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(y + x)
+        # epsilon matches Keras LayerNormalization (the reference's LNs);
+        # Flax's 1e-6 default costs ~2e-3 output parity per block
+        return nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="layer_norm")(y + x)
 
 
 class PostNet(nn.Module):
