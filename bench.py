@@ -1,17 +1,30 @@
-"""Benchmark: mel-synthesis throughput on the flagship LJSpeech config.
+"""Benchmark: synthesis throughput + training step time, with MFU accounting.
 
-Measures mel frames/sec/chip for batched flow-prior sampling + NAR decoding
-(the reference's RTF surface, inference.py:148-168) on whatever accelerator
-is attached. Prints ONE JSON line:
+Measures, on whatever accelerator is attached, at the flagship LJSpeech config:
+
+  * synthesis via the length-predictor inference path (the reference's RTF
+    surface, inference.py:125-168), counting only VALID (non-padded) mel
+    frames -- padded positions are not "produced audio";
+  * training step time (batch 32, mel 720, r=2), fwd+bwd+Adam;
+  * MFU for both: XLA cost-analysis FLOPs / measured time / chip peak.
+
+Prints ONE JSON line:
 
     {"metric": "mel_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-     "vs_baseline": R}
+     "vs_baseline": R, "synthesis_fps": N, "synthesis_mfu": F,
+     "train_ms_per_step": M, "train_mfu": F2, "device": "..."}
 
-``vs_baseline`` is the speed-over-realtime ratio per chip: value divided by
-the real-time mel frame rate (sample_rate / frame_shift = 22050/256 = 86.13
-frames of audio per second). The reference commits no numbers (BASELINE.md),
-so realtime-rate is the stable self-measured denominator; a single-GPU
-reference synthesizing at RTF ~0.01 corresponds to vs_baseline ~100.
+``vs_baseline`` is the speed-over-realtime ratio per chip: valid frames/s
+divided by the real-time mel frame rate (22050/256 = 86.13 frames of audio
+per second). The reference commits no numbers (BASELINE.md), so realtime-rate
+is the stable self-measured denominator; a single-GPU reference synthesizing
+at RTF ~0.01 corresponds to vs_baseline ~100.
+
+MFU notes: FLOP counts come from XLA's compiled cost model
+(``lowered.compile().cost_analysis()``), the algorithmic FLOPs of the graph
+XLA actually runs. Peak is the chip's dense bf16 (fp32 on CPU) matmul peak.
+This model is tiny by MXU standards (attention_dim 256, 4 heads), so low MFU
+means "latency/bandwidth bound at small shapes", not wasted FLOPs.
 """
 
 from __future__ import annotations
@@ -27,55 +40,148 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
+# Dense bf16 peak TFLOP/s per chip by device kind substring (public specs).
+# CPU fallback is only so bench runs everywhere; MFU is meaningless there.
+PEAK_TFLOPS = (
+    ("v6", 918.0),  # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / v5 lite
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 45.0),
+)
+
+
+def device_peak_flops(device=None) -> tuple[str, float]:
+    """(device_kind, peak FLOP/s) for the attached accelerator."""
+    d = device or jax.devices()[0]
+    kind = d.device_kind
+    low = kind.lower()
+    for key, tf in PEAK_TFLOPS:
+        if key in low:
+            return kind, tf * 1e12
+    return kind, 1e12  # unknown kind: report MFU against 1 TFLOP/s
+
+
+def compiled_flops(lowered) -> float:
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, list):  # older jax returns a per-computation list
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
 
 def main() -> None:
-    from vaenar_tts_tpu.configs import get_config
-    from vaenar_tts_tpu.models import VAENAR
-    from vaenar_tts_tpu.training.steps import init_model, make_test_step
+    import os
 
-    hp = get_config("ljspeech")
+    from vaenar_tts_tpu.configs import get_config
+    from vaenar_tts_tpu.configs.hparams import tiny_test_config
+    from vaenar_tts_tpu.models import VAENAR
+    from vaenar_tts_tpu.training.steps import (init_model, make_inference_step,
+                                               make_optimizer, make_train_step)
+
+    tiny = os.environ.get("VAENAR_BENCH_TINY") == "1"  # CPU CI smoke mode
+    hp = tiny_test_config() if tiny else get_config("ljspeech")
     model = VAENAR(hp)
 
-    BATCH = 16
-    TEXT_MAX = 128
-    MEL_MAX = 720  # multiple of 60; ~8.4 s of audio per utterance
+    BATCH = 2 if tiny else 16
+    TEXT_MAX = 32 if tiny else 128
+    MEL_MAX = 120 if tiny else 720  # multiple of 60; ~8.4 s audio/utterance
     R = hp.common.final_reduction_factor
-    ITERS = 50
+    ITERS = 2 if tiny else 50
+    TRAIN_BATCH = 2 if tiny else hp.train.train_batch_size  # 32
+    TRAIN_ITERS = 2 if tiny else 20
+
+    kind, peak = device_peak_flops()
 
     params, batch_stats = init_model(hp, model, 0, TEXT_MAX, MEL_MAX)
+    # Untrained length-predictor logits are ~0, so sum(exp) predicts ~1 frame
+    # per token. Set the projection bias to log(mel_text_len_ratio) so the
+    # predicted lengths match the real LJSpeech frames-per-token rate (5.59)
+    # and the benchmark sees a realistic valid-frame distribution.
+    import flax
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+    lp = params["length_predictor"]["projection"]
+    lp["bias"] = jnp.full_like(
+        lp["bias"], float(np.log(hp.common.mel_text_len_ratio)))
+
     rng_np = np.random.default_rng(0)
-    texts = jnp.asarray(
-        rng_np.integers(1, hp.encoder.vocab_size, (BATCH, TEXT_MAX)),
-        jnp.int32)
-    t_lens = jnp.full((BATCH,), TEXT_MAX, jnp.int32)
-    m_lens = jnp.full((BATCH,), MEL_MAX, jnp.int32)
+    # ragged text lengths: realistic spread instead of uniform max
+    t_lens_np = rng_np.integers(TEXT_MAX // 2, TEXT_MAX + 1,
+                                (BATCH,)).astype(np.int32)
+    texts_np = rng_np.integers(1, hp.encoder.vocab_size, (BATCH, TEXT_MAX))
+    for i, tl in enumerate(t_lens_np):
+        texts_np[i, tl:] = 0
+    texts = jnp.asarray(texts_np, jnp.int32)
+    t_lens = jnp.asarray(t_lens_np)
     key = jax.random.key(0)
 
-    test_step = make_test_step(hp, model)
+    # -- synthesis: length-predictor path, valid frames only ------------------
+    inference_step = make_inference_step(hp, model)
 
     def run(k):
-        mels, _ = test_step(params, batch_stats, texts, t_lens, m_lens, k,
-                            reduction_factor=R, max_mel_length=MEL_MAX)
-        return mels
+        mels, pred_lens, _ = inference_step(
+            params, batch_stats, texts, t_lens, k,
+            reduction_factor=R, max_mel_length=MEL_MAX)
+        return mels, pred_lens
 
-    # compile + warm up
-    out = run(key)
-    out.block_until_ready()
+    mels, pred_lens = run(key)  # compile + warm up
+    mels.block_until_ready()
+    valid_frames_per_iter = int(np.minimum(np.asarray(pred_lens), MEL_MAX).sum())
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        out = run(jax.random.fold_in(key, i))
-    out.block_until_ready()
+        mels, _ = run(jax.random.fold_in(key, i))
+    mels.block_until_ready()
     dt = time.perf_counter() - t0
 
-    frames = BATCH * MEL_MAX * ITERS
-    fps = frames / dt
+    fps = valid_frames_per_iter * ITERS / dt
+    syn_lowered = inference_step.lower(
+        params, batch_stats, texts, t_lens, key,
+        reduction_factor=R, max_mel_length=MEL_MAX)
+    syn_mfu = compiled_flops(syn_lowered) * ITERS / dt / peak
+
+    # -- training step ---------------------------------------------------------
+    optimizer = make_optimizer(hp)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(hp, model, optimizer, donate=False)
+    mels_in = jnp.asarray(
+        rng_np.standard_normal((TRAIN_BATCH, MEL_MAX, hp.audio.num_mels)) * 0.1,
+        jnp.float32)
+    tr_texts = jnp.asarray(
+        rng_np.integers(1, hp.encoder.vocab_size, (TRAIN_BATCH, TEXT_MAX)),
+        jnp.int32)
+    tr_tl = jnp.full((TRAIN_BATCH,), TEXT_MAX, jnp.int32)
+    tr_ml = jnp.full((TRAIN_BATCH,), MEL_MAX, jnp.int32)
+    kw = jnp.float32(1e-5)
+
+    p, bs, os_ = params, batch_stats, opt_state
+    p, bs, os_, _ = train_step(p, bs, os_, tr_texts, mels_in, tr_tl, tr_ml,
+                               kw, key, reduction_factor=R)
+    jax.block_until_ready(p)
+    t0 = time.perf_counter()
+    for i in range(TRAIN_ITERS):
+        p, bs, os_, m = train_step(p, bs, os_, tr_texts, mels_in, tr_tl, tr_ml,
+                                   kw, jax.random.fold_in(key, i),
+                                   reduction_factor=R)
+    jax.block_until_ready(p)
+    train_dt = (time.perf_counter() - t0) / TRAIN_ITERS
+
+    tr_lowered = train_step.lower(
+        params, batch_stats, opt_state, tr_texts, mels_in, tr_tl, tr_ml,
+        kw, key, reduction_factor=R)
+    train_mfu = compiled_flops(tr_lowered) / train_dt / peak
+
     realtime_frame_rate = hp.audio.sample_rate / hp.audio.frame_shift_sample
     print(json.dumps({
         "metric": "mel_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / realtime_frame_rate, 1),
+        "synthesis_fps": round(fps, 1),
+        "synthesis_mfu": round(syn_mfu, 4),
+        "train_ms_per_step": round(train_dt * 1e3, 3),
+        "train_mfu": round(train_mfu, 4),
+        "device": kind,
     }))
 
 

@@ -1,0 +1,112 @@
+"""Toy alignment corpus (data/toy.py) and the alignment-diagonality metric
+(utils/metrics.py) that scripts/alignment_proof.py asserts on."""
+
+import numpy as np
+import pytest
+
+from vaenar_tts_tpu.configs import get_config
+from vaenar_tts_tpu.data.loader import BucketedLoader
+from vaenar_tts_tpu.data.records import list_shards
+from vaenar_tts_tpu.data.toy import (ToySpec, generate_corpus, random_text,
+                                     synthesize_utterance)
+from vaenar_tts_tpu.utils.metrics import (alignment_diagonality,
+                                          batch_diagonality)
+
+HP = get_config("ljspeech")
+
+
+class TestToySynthesis:
+    def test_symbols_are_spectrally_distinct(self):
+        """Different letters must land energy in different mel bands --
+        otherwise the corpus carries no text->audio information."""
+        from vaenar_tts_tpu.audio.dsp import AudioProcessor
+        ap = AudioProcessor(HP.audio)
+        mel_a = ap.melspectrogram(synthesize_utterance("aaaa", HP)).T
+        mel_z = ap.melspectrogram(synthesize_utterance("zzzz", HP)).T
+        # compare band-energy centroids over the voiced middle frames
+        def centroid(m):
+            mid = m[m.shape[0] // 4: -m.shape[0] // 4]
+            w = mid.mean(axis=0)
+            w = w - w.min()
+            return float((w * np.arange(len(w))).sum() / w.sum())
+        assert centroid(mel_z) > centroid(mel_a) + 2.0
+
+    def test_duration_is_deterministic_per_symbol(self):
+        spec = ToySpec()
+        w1 = synthesize_utterance("abc", HP, spec)
+        w2 = synthesize_utterance("abc", HP, spec)
+        np.testing.assert_array_equal(w1, w2)
+        # length = sum of per-letter frames + 2x2 pad frames
+        shift = HP.audio.frame_shift_sample
+        expect = sum(spec.frames(k) for k in range(3)) + 4
+        assert len(w1) == expect * shift
+
+    def test_random_text_alphabet(self, rng):
+        for _ in range(20):
+            t = random_text(rng)
+            assert set(t) <= set("abcdefghijklmnopqrstuvwxyz ")
+            letters = t.replace(" ", "")
+            assert 8 <= len(letters) <= 22
+
+
+class TestCorpusGeneration:
+    def test_generate_and_load(self, tmp_path):
+        stats = generate_corpus(str(tmp_path), HP, n_train=6, n_dev=2,
+                                n_test=2, train_split=2)
+        assert stats["n_train"] == 6
+        assert 4.0 < stats["mel_text_len_ratio"] < 16.0
+        train_shards = list_shards(str(tmp_path), "train")
+        assert len(train_shards) == 2
+        loader = BucketedLoader(train_shards, batch_size=2, mel_bucket=120,
+                                text_bucket=32, shuffle=False)
+        batch = next(iter(loader))
+        assert batch.mels.shape[2] == HP.audio.num_mels
+        assert batch.texts.max() < HP.encoder.vocab_size
+        assert (batch.mel_lengths > 0).all()
+
+
+class TestDiagonalityMetric:
+    def _diag_alignment(self, mel_len, text_len, noise=0.0, rng=None):
+        """Synthetic sharp diagonal alignment [1, mel_len, text_len]."""
+        a = np.zeros((1, mel_len, text_len))
+        for t in range(mel_len):
+            j = int(t * text_len / mel_len)
+            a[0, t, j] = 1.0
+        if noise and rng is not None:
+            a = a + noise * rng.random(a.shape)
+        return a / a.sum(axis=-1, keepdims=True)
+
+    def test_perfect_diagonal_scores_high(self):
+        a = self._diag_alignment(50, 10)
+        s = alignment_diagonality(a, 50, 10)
+        assert s["diagonality"] > 0.97
+        assert s["focus"] > 0.9
+
+    def test_uniform_scores_low(self):
+        a = np.full((2, 40, 8), 1.0 / 8)
+        s = alignment_diagonality(a, 40, 8)
+        assert abs(s["diagonality"]) < 0.1
+        assert s["focus"] == pytest.approx(1.0 / 8)
+
+    def test_antidiagonal_scores_negative(self):
+        a = self._diag_alignment(50, 10)[:, ::-1, :]
+        s = alignment_diagonality(a, 50, 10)
+        assert s["diagonality"] < -0.97
+
+    def test_crops_padding(self, rng):
+        """Padded rows/cols beyond the valid region must not affect the score."""
+        a = self._diag_alignment(30, 8, noise=0.02, rng=rng)
+        padded = np.zeros((1, 48, 16))
+        padded[:, :30, :8] = a
+        padded[:, 30:, 8:] = rng.random((1, 18, 8))  # junk in the pad region
+        s_crop = alignment_diagonality(padded, 30, 8)
+        s_ref = alignment_diagonality(a, 30, 8)
+        assert s_crop["diagonality"] == pytest.approx(s_ref["diagonality"])
+
+    def test_batch_aggregation_respects_n_valid(self, rng):
+        good = self._diag_alignment(40, 8)
+        bad = np.full((1, 40, 8), 1.0 / 8)
+        batch = np.stack([good, good, bad])  # last row is repeat-padding
+        s = batch_diagonality(batch, [40, 40, 40], [8, 8, 8], n_valid=2)
+        assert s["n"] == 2
+        assert s["diagonality"] > 0.97

@@ -37,6 +37,54 @@ def mcd(pred: np.ndarray, ref: np.ndarray, n_coeffs: int = 13) -> float:
     return float(np.mean(k * np.sqrt(np.sum((c_pred - c_ref) ** 2, axis=1))))
 
 
+def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
+                          ) -> Dict[str, float]:
+    """Monotonic-alignment score for one utterance's cross-attention.
+
+    ``ali``: [heads, mel_frames, text_tokens] attention weights (any padded
+    size; cropped to the valid ``mel_len`` x ``text_len`` region). Returns
+
+      * ``diagonality``: the best head's Pearson correlation between the frame
+        index and the attention-expected text position -- 1.0 for a perfectly
+        monotonic alignment, ~0 for unstructured attention;
+      * ``focus``: that head's mean max attention weight per frame (how peaked
+        the alignment is; uniform attention gives 1/text_len).
+
+    This is the quantitative version of the diagonal alignment plots the
+    reference eyeballs every test interval (reference train.py:309-325).
+    """
+    a = np.asarray(ali, np.float64)[:, :mel_len, :text_len]
+    a = a / np.maximum(a.sum(axis=-1, keepdims=True), 1e-12)
+    frames = np.arange(mel_len, dtype=np.float64)
+    positions = np.arange(text_len, dtype=np.float64)
+    best_corr, best_focus = -1.0, 0.0
+    for h in range(a.shape[0]):
+        expected = a[h] @ positions  # [mel_len] expected text position
+        if expected.std() < 1e-9 or frames.std() < 1e-9:
+            corr = 0.0
+        else:
+            corr = float(np.corrcoef(frames, expected)[0, 1])
+        if corr > best_corr:
+            best_corr = corr
+            best_focus = float(np.mean(a[h].max(axis=-1)))
+    return {"diagonality": best_corr, "focus": best_focus}
+
+
+def batch_diagonality(ali_batch: np.ndarray, mel_lens: Sequence[int],
+                      text_lens: Sequence[int], n_valid: int | None = None
+                      ) -> Dict[str, float]:
+    """Mean alignment_diagonality over a padded batch.
+    ``ali_batch``: [batch, heads, mel_frames, text_tokens]."""
+    n = n_valid if n_valid is not None else ali_batch.shape[0]
+    scores = [alignment_diagonality(ali_batch[i], int(mel_lens[i]),
+                                    int(text_lens[i])) for i in range(n)]
+    return {
+        "diagonality": float(np.mean([s["diagonality"] for s in scores])),
+        "focus": float(np.mean([s["focus"] for s in scores])),
+        "n": len(scores),
+    }
+
+
 def batch_summary(pairs: Sequence[tuple]) -> Dict[str, float]:
     """Aggregate (pred, ref) mel pairs into mean metrics."""
     l1s = [mel_l1(p, r) for p, r in pairs]
