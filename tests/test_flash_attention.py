@@ -65,6 +65,79 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+@pytest.mark.parametrize("tq,tk,causal", [
+    (64, 64, True),    # causal band through the fused backward
+    (128, 96, False),  # rectangular blocks
+    (60, 48, False),   # ragged Tq: falls back to the XLA VJP
+    (64, 60, False),   # ragged Tk: fused fwd, XLA bwd fallback
+])
+def test_fused_backward_matches_xla(tq, tk, causal):
+    q, k, v, qlen, mlen = _inputs(tq, tk, seed=11)
+    scale = 1.0 / np.sqrt(D)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(masked_flash_attention(q, k, v, qlen, mlen, scale,
+                                              causal) ** 3)
+
+    def loss_ref(q, k, v):
+        mask = attention_mask(qlen, mlen, B, tq, tk, causal)
+        out, _ = masked_attention_xla(q, k, v, mask, scale)
+        return jnp.sum(out ** 3)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_fully_masked_rows_gradient_parity():
+    """Padded query rows degrade to uniform attention in BOTH directions:
+    the fused backward recomputes exactly the XLA path's gradient."""
+    q, k, v, _, _ = _inputs(64, 64, seed=13)
+    qlen = jnp.array([8, 64])   # batch 0 has 56 fully-masked query rows
+    mlen = jnp.array([64, 5])
+    scale = 0.25
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return f
+
+    fused = lambda q_, k_, v_: masked_flash_attention(
+        q_, k_, v_, qlen, mlen, scale, False)
+
+    def ref(q_, k_, v_):
+        mask = attention_mask(qlen, mlen, B, 64, 64, False)
+        out, _ = masked_attention_xla(q_, k_, v_, mask, scale)
+        return out
+
+    g_fused = jax.grad(loss(fused), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_auto_selection_policy():
+    from vaenar_tts_tpu.ops.flash_attention import pallas_profitable
+    assert pallas_profitable(512, 512)
+    assert pallas_profitable(1200, 1200)
+    assert not pallas_profitable(60, 32)   # shipped short shapes stay on XLA
+    assert not pallas_profitable(240, 64)
+
+
+def test_auto_mode_keeps_alignments_on_short_shapes():
+    """use_pallas='auto' routes short sequences to XLA, so alignments stay
+    materialized (the plotted artifact path)."""
+    from vaenar_tts_tpu.models.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16)), jnp.float32)
+    mha = MultiHeadAttention(attention_dim=16, num_heads=2, use_pallas="auto")
+    variables = mha.init(jax.random.key(0), x, x)
+    _, ali = mha.apply(variables, x, x)
+    assert ali is not None and ali.shape == (2, 2, 32, 32)
+
+
 def test_module_level_equivalence():
     """A full CrossAttentionBlock produces the same outputs with the fused
     kernel and the XLA path, given identical params."""

@@ -81,6 +81,51 @@ def test_tp_sharding_rules_only_hit_wide_kernels():
     assert sharded == []
 
 
+def test_ring_sequence_parallel_full_model_matches():
+    """VAENAR with seq_mesh set (every eligible self-attention on the
+    ppermute ring, time sharded over 'model') must match the plain model's
+    losses AND gradients — same params, different schedule."""
+    mesh = make_mesh(data=4, model=2)
+    plain = VAENAR(HP)
+    ringed = VAENAR(HP, seq_mesh=mesh)
+    params, batch_stats = init_model(HP, plain, 0, T_TEXT, T_MEL)
+    texts, mels, t_lens, m_lens = _batch(seed=7)
+    rng = jax.random.key(5)
+
+    def loss_fn(model):
+        def fn(params):
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                texts, mels, m_lens, t_lens, reduction_factor=2, train=False,
+                reduce_loss=True, rngs={"sample": rng})
+            _dec, mel_l2, kl, len_l2, _ = outs
+            return mel_l2 + 1e-5 * kl + len_l2
+        return fn
+
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss_fn(plain)))(params)
+    ring_loss, ring_grads = jax.jit(jax.value_and_grad(loss_fn(ringed)))(params)
+    assert float(ref_loss) == pytest.approx(float(ring_loss), rel=1e-4)
+    flat_a = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(ring_grads))
+    for path, ga in flat_a:
+        gb = flat_b[path]
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=5e-3, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_ring_skips_when_time_indivisible():
+    """Times that don't divide the mesh axis silently fall back to the XLA
+    path (static trace-time check), so ragged buckets still work."""
+    from vaenar_tts_tpu.parallel.ring_attention import ring_eligible
+    mesh = make_mesh(data=2, model=4)
+    assert not ring_eligible(mesh, "model", 30, 30)   # 30 % 4 != 0
+    assert not ring_eligible(mesh, "model", 32, 16)   # cross-attention
+    assert not ring_eligible(None, "model", 32, 32)
+    assert not ring_eligible(mesh, "nope", 32, 32)
+    assert ring_eligible(mesh, "model", 32, 32)
+
+
 def test_sequence_sharded_forward_matches():
     """Full-model ELBO with the mel TIME axis sharded over the mesh
     ('sp' via GSPMD: XLA inserts the attention collectives) matches the

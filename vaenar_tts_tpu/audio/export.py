@@ -16,6 +16,22 @@ from ..text.tokenizer import CharTokenizer
 from .dsp import AudioProcessor
 
 
+def device_vocoder_capable() -> bool:
+    """Probe: can the attached accelerator run the compiled Griffin-Lim loop
+    (ops/griffin_lim.py) safely? Directly attached TPUs qualify; the
+    tunnel-attached 'axon' PJRT plugin faults on the kernel and can hang the
+    chip for tens of minutes, and on the CPU backend host threads win, so
+    both fall back to the host vocoder. Override with VAENAR_JAX_VOCODER=1/0."""
+    env = os.environ.get("VAENAR_JAX_VOCODER")
+    if env is not None:
+        return env.lower() not in ("0", "false", "no")
+    try:
+        import jax
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _agg_matplotlib():
     import matplotlib
     matplotlib.use("Agg")
@@ -86,6 +102,18 @@ class TestUtils:
             self.audio.save_wav(np.asarray(wav), path)
             paths.append(path)
         return paths
+
+    def synthesize_and_save_wavs_auto(self, tag, mel_batch: np.ndarray,
+                                      mel_lengths, ids, prefix: str = "",
+                                      seed: int = 0) -> List[str]:
+        """Capability-probed vocoder: batched on-device Griffin-Lim when the
+        attached accelerator can run the compiled loop safely, host threads
+        otherwise (reference GL: audio/audio.py:95-102)."""
+        if device_vocoder_capable():
+            return self.synthesize_and_save_wavs_jax(
+                tag, mel_batch, mel_lengths, ids, prefix, seed)
+        return self.synthesize_and_save_wavs(
+            tag, mel_batch, mel_lengths, ids, prefix, seed)
 
     # -- plots (reference audio/utils.py:50-116) -------------------------------
 

@@ -63,6 +63,11 @@ def inference_test(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     tester = TestUtils(hp, args.test_dir)
+    if args.draw_alignments:
+        # alignments are not materialized on the fused attention path; swap
+        # to the plots twin (identical params) when the user asks for them
+        from ..training.steps import plots_variant
+        model = VAENAR(plots_variant(hp))
     inf_step = make_inference_step(hp, model)
     r = hp.common.final_reduction_factor
 
@@ -112,8 +117,12 @@ def inference_test(args) -> None:
             tester.write_mels(epoch, mels[:batch.n_valid],
                               pred_lens[:batch.n_valid], ids, prefix="prior")
         if args.write_wavs:
-            synth = (tester.synthesize_and_save_wavs_jax if args.jax_vocoder
-                     else tester.synthesize_and_save_wavs)
+            if args.jax_vocoder:
+                synth = tester.synthesize_and_save_wavs_jax
+            elif args.host_vocoder:
+                synth = tester.synthesize_and_save_wavs
+            else:  # capability probe: device GL on direct-attached TPUs
+                synth = tester.synthesize_and_save_wavs_auto
             synth(epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid], ids,
                   prefix="prior")
         if args.draw_alignments:
@@ -134,7 +143,8 @@ def synthesize_from_text(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
     tester = TestUtils(hp, args.test_dir)
-    inf_step = make_inference_step(hp, model)
+    from ..training.steps import plots_variant
+    inf_step = make_inference_step(hp, VAENAR(plots_variant(hp)))
     r = hp.common.final_reduction_factor
     corpus = CORPORA[args.dataset](None, None, hp)
 
@@ -188,9 +198,12 @@ def main(argv=None) -> None:
     parser.add_argument("--draw_alignments", action="store_true",
                         default=False)
     parser.add_argument("--jax_vocoder", action="store_true", default=False,
-                        help="batched on-device Griffin-Lim instead of CPU "
-                             "threads (experimental: validated on the CPU "
-                             "backend; known to fault tunnel-attached TPUs)")
+                        help="force batched on-device Griffin-Lim (default: "
+                             "capability probe picks it on direct-attached "
+                             "TPUs; tunnel-attached chips fault on the "
+                             "kernel and fall back to host threads)")
+    parser.add_argument("--host_vocoder", action="store_true", default=False,
+                        help="force the threaded host NumPy Griffin-Lim")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -45,12 +45,14 @@ class TrainConfig:
     reduction_factors: Tuple[int, ...] = (5, 4, 3, 2)
     reduce_interval: Tuple[int, ...] = (0, 200, 400, 600)
     # TPU-native knobs (new).
-    # use_pallas_attention: fused VMEM-resident attention kernel. Measured on
-    # v5e at the shipped model sizes (heads=4, head_dim=64, T<=512) XLA's
-    # fused attention is ~15% faster than the Pallas kernel (narrow head_dim
-    # half-fills the MXU lanes and XLA fuses the surrounding projections), so
-    # the default is False; flip it for longer-sequence / wider-head configs.
-    use_pallas_attention: bool = False
+    # use_pallas_attention: fused VMEM-resident attention kernel (forward AND
+    # flash backward, ops/flash_attention.py). False/"off", True/"on", or
+    # "auto": at the shipped short shapes (heads=4, head_dim=64, T<=512) XLA
+    # wins (narrow head_dim half-fills the MXU lanes and XLA fuses the
+    # surrounding projections), so "auto" selects the fused kernel only past
+    # the measured long-sequence crossover (pallas_profitable); shapes are
+    # static, so selection is trace-time-only.
+    use_pallas_attention: Any = "auto"
     compute_dtype: str = "bfloat16"  # transformer matmul dtype; flow stays fp32
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0

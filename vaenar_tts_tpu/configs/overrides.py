@@ -18,6 +18,8 @@ from .hparams import HParams
 
 def _parse_value(raw: str, current: Any) -> Any:
     if isinstance(current, bool):
+        if raw.lower() == "auto":  # tri-state knobs (use_pallas_attention)
+            return "auto"
         return raw.lower() in ("1", "true", "yes")
     if isinstance(current, int):
         return int(raw)

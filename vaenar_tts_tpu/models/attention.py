@@ -74,13 +74,27 @@ def masked_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 class MultiHeadAttention(nn.Module):
     """Multi-head scaled-dot-product attention with length + causal masking
-    (reference attention.py:149-246)."""
+    (reference attention.py:149-246).
+
+    Sequence parallelism: when ``ring_mesh`` is set and this is a
+    self-attention call (inputs is memory) whose time length divides the
+    ``ring_axis`` mesh size, the attention runs on the ppermute ring
+    (parallel/ring_attention.py) with the time axis sharded over the mesh —
+    k/v blocks rotate over ICI and only one score block lives in VMEM.
+    Cross-attention (short text memory) stays on the XLA/Pallas path, which
+    also keeps the plotted cross alignments materialized."""
 
     attention_dim: int
     num_heads: int
     temperature: float = 1.0
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
+    # False | True | "auto" ("auto": the fused Pallas kernel kicks in at the
+    # measured long-sequence crossover, ops/flash_attention.pallas_profitable;
+    # shapes are static so selection happens at trace time)
+    use_pallas: Any = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
+    ring_batch_axis: Optional[str] = "data"
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None,
@@ -104,7 +118,24 @@ class MultiHeadAttention(nn.Module):
         # python float (not jnp): the fused kernel takes it as a static value
         scale = 1.0 / (math.sqrt(float(head_dim)) * self.temperature)
 
-        if self.use_pallas:
+        use_ring = False
+        if self.ring_mesh is not None and inputs is memory:
+            from ..parallel.ring_attention import ring_eligible
+            use_ring = ring_eligible(self.ring_mesh, self.ring_axis, tq, tk)
+        use_fused = self.use_pallas is True
+        if self.use_pallas == "auto":
+            from ..ops.flash_attention import pallas_profitable
+            use_fused = pallas_profitable(tq, tk)
+        if use_ring:
+            from ..parallel.ring_attention import ring_self_attention
+            lengths = (query_lengths if query_lengths is not None
+                       else jnp.full((batch,), tq, jnp.int32))
+            contexts = ring_self_attention(
+                qh, kh, vh, lengths, self.ring_mesh, scale=scale,
+                causal=causal, axis=self.ring_axis,
+                batch_axis=self.ring_batch_axis)
+            alignments = None
+        elif use_fused:
             from ..ops.flash_attention import masked_flash_attention
             contexts = masked_flash_attention(
                 qh, kh, vh, query_lengths, memory_lengths,
@@ -134,6 +165,8 @@ class SelfAttentionBlock(nn.Module):
     ffn_hidden: int = 1024
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None,
@@ -141,7 +174,8 @@ class SelfAttentionBlock(nn.Module):
         att_outs, alignments = MultiHeadAttention(
             self.attention_dim, self.attention_heads,
             self.attention_temperature, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attention")(
+            use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis, name="attention")(
             inputs, memory, query_lengths, memory_lengths, causal=causal)
         contexts = jnp.concatenate([inputs, att_outs], axis=-1)
         projected = nn.Dense(self.input_dim, dtype=self.dtype,
@@ -165,13 +199,16 @@ class CrossAttentionBlock(nn.Module):
     ffn_hidden: int = 1024
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None):
         self_att, _self_ali = MultiHeadAttention(
             self.attention_dim, self.attention_heads,
             self.attention_temperature, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="self_attention")(
+            use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis, name="self_attention")(
             inputs, inputs, query_lengths, query_lengths, causal=True)
         contexts = jnp.concatenate([inputs, self_att], axis=-1)
         h = nn.Dense(self.input_dim, dtype=self.dtype, name="att_proj1")(contexts)

@@ -35,6 +35,8 @@ class TransformerDecoder(nn.Module):
     max_reduction_factor: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, text_embd, z_lengths=None, text_lengths=None,
@@ -53,7 +55,8 @@ class TransformerDecoder(nn.Module):
                 attention_heads=self.attention_heads,
                 attention_temperature=self.temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 name=f"decoder_attention_{i}")(
                 x, text_embd, query_lengths=z_lengths,
                 memory_lengths=text_lengths)

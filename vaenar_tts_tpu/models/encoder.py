@@ -35,6 +35,8 @@ class TransformerEncoder(nn.Module):
     ffn_hidden: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, input_lengths=None, pos_step: float = 1.0,
@@ -58,7 +60,8 @@ class TransformerEncoder(nn.Module):
                 attention_heads=self.attention_heads,
                 attention_temperature=self.attention_temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 name=f"self_attention{i}")(
                 x, x, query_lengths=input_lengths,
                 memory_lengths=input_lengths)

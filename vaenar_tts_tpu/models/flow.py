@@ -137,6 +137,8 @@ class TransformerTransform(nn.Module):
     out_dim: int
     use_pallas: bool = False
     dtype: Any = jnp.float32
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, condition_inputs, condition_lengths=None,
@@ -156,6 +158,7 @@ class TransformerTransform(nn.Module):
                 ffn_hidden=self.ffn_hidden,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
+                ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
                 name=f"attention_{i}")(
                 x, condition_inputs, query_lengths=target_lengths,
                 memory_lengths=condition_lengths)
@@ -179,6 +182,8 @@ class TransformerCoupling(nn.Module):
     order: str = "upper"  # 'upper': transform the second half; 'lower': first
     use_pallas: bool = False
     dtype: Any = jnp.float32  # conditioning-net compute dtype; affine is fp32
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     def setup(self):
         assert self.order in ("upper", "lower")
@@ -186,7 +191,8 @@ class TransformerCoupling(nn.Module):
             nblk=self.nblk, attention_dim=self.attention_dim,
             attention_heads=self.attention_heads, temperature=self.temperature,
             ffn_hidden=self.ffn_hidden, out_dim=self.channels // 2,
-            use_pallas=self.use_pallas, dtype=self.dtype)
+            use_pallas=self.use_pallas, dtype=self.dtype,
+            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis)
 
     def __call__(self, inputs, condition_inputs, inputs_lengths=None,
                  condition_lengths=None, reverse: bool = False,

@@ -82,6 +82,8 @@ class TransformerPosterior(nn.Module):
     latent_dim: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     @nn.compact
     def __call__(self, inputs, src_enc, src_lengths=None, target_lengths=None,
@@ -102,7 +104,8 @@ class TransformerPosterior(nn.Module):
                 attention_heads=self.attention_heads,
                 attention_temperature=self.temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 name=f"attention_{i}")(
                 x, src_enc, query_lengths=target_lengths,
                 memory_lengths=src_lengths)

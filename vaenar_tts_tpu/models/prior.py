@@ -38,6 +38,8 @@ class TransformerPrior(nn.Module):
     ffn_hidden: int
     use_pallas: bool = False
     dtype: Any = jnp.float32  # coupling-net compute dtype; flow math is fp32
+    ring_mesh: Optional[Any] = None
+    ring_axis: str = "model"
 
     def setup(self):
         actnorms, linears, couplings = [], [], []
@@ -52,7 +54,8 @@ class TransformerPrior(nn.Module):
                 attention_heads=self.attention_heads,
                 temperature=self.temperature, ffn_hidden=self.ffn_hidden,
                 order=orders[i % 2], use_pallas=self.use_pallas,
-                dtype=self.dtype, name=f"transformerCoupling{i}"))
+                dtype=self.dtype, ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis, name=f"transformerCoupling{i}"))
         self.actnorms = actnorms
         self.linears = linears
         self.couplings = couplings

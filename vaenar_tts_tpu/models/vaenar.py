@@ -43,12 +43,28 @@ def compute_dtype_of(hp: HParams):
 
 
 class VAENAR(nn.Module):
+    """Composite model. ``seq_mesh``/``seq_axis`` (optional) turn on
+    sequence parallelism: every self-attention whose time length divides the
+    mesh axis runs on the ppermute ring (parallel/ring_attention.py), so long
+    utterances shard their attention time over the 'model' axis end-to-end.
+    Cross-attention (short text memory) and everything else stay on the
+    GSPMD-sharded path, and the plotted cross alignments remain available."""
+
     hp: HParams
+    seq_mesh: Optional[Any] = None
+    seq_axis: str = "model"
 
     def setup(self):
         hp = self.hp
         dtype = compute_dtype_of(hp)
         use_pallas = hp.train.use_pallas_attention
+        if isinstance(use_pallas, str):
+            mapping = {"off": False, "false": False, "0": False,
+                       "on": True, "true": True, "1": True, "auto": "auto"}
+            if use_pallas.lower() not in mapping:
+                raise ValueError(f"use_pallas_attention={use_pallas!r}")
+            use_pallas = mapping[use_pallas.lower()]
+        ring = dict(ring_mesh=self.seq_mesh, ring_axis=self.seq_axis)
         self.n_sample = hp.train.num_samples
         self.mel_text_len_ratio = hp.common.mel_text_len_ratio
         self.max_reduction_factor = hp.common.max_reduction_factor
@@ -67,7 +83,7 @@ class VAENAR(nn.Module):
             attention_heads=hp.encoder.attention_heads,
             attention_temperature=hp.encoder.attention_temperature,
             ffn_hidden=hp.encoder.ffn_hidden,
-            dtype=dtype, use_pallas=use_pallas)
+            dtype=dtype, use_pallas=use_pallas, **ring)
         self.decoder = TransformerDecoder(
             nblk=hp.decoder.nblk,
             attention_dim=hp.decoder.attention_dim,
@@ -80,7 +96,7 @@ class VAENAR(nn.Module):
             post_drop_rate=hp.decoder.post_drop_rate,
             out_dim=hp.common.output_dim,
             max_reduction_factor=hp.common.max_reduction_factor,
-            dtype=dtype, use_pallas=use_pallas)
+            dtype=dtype, use_pallas=use_pallas, **ring)
         self.length_predictor = DenseLengthPredictor(
             activation=hp.length_predictor.activation, dtype=dtype)
         self.posterior = TransformerPosterior(
@@ -94,7 +110,7 @@ class VAENAR(nn.Module):
             temperature=hp.posterior.temperature,
             ffn_hidden=hp.posterior.ffn_hidden,
             latent_dim=hp.common.latent_dim,
-            dtype=dtype, use_pallas=use_pallas)
+            dtype=dtype, use_pallas=use_pallas, **ring)
         self.prior = TransformerPrior(
             n_blk=hp.prior.n_blk,
             channels=hp.common.latent_dim,
@@ -103,7 +119,7 @@ class VAENAR(nn.Module):
             attention_heads=hp.prior.attention_heads,
             temperature=hp.prior.temperature,
             ffn_hidden=hp.prior.ffn_hidden,
-            use_pallas=use_pallas, dtype=dtype)
+            use_pallas=use_pallas, dtype=dtype, **ring)
 
     # -- loss helpers (reference models.py:67-103) ---------------------------
 

@@ -1,21 +1,30 @@
-"""Fused masked attention kernel (Pallas, TPU).
+"""Fused masked attention kernels (Pallas, TPU).
 
 The single hottest code path: every transformer block in the encoder,
 posterior, decoder, and the 6x2 coupling transforms funnels into masked MHA
-(38 invocations per training step, SURVEY.md section 3.2). This kernel fuses
-QK^T -> length/causal mask -> softmax -> PV entirely in VMEM, so the [Tq, Tk]
-score matrix never round-trips to HBM.
+(38 invocations per training step, SURVEY.md section 3.2). The forward kernel
+fuses QK^T -> length/causal mask -> softmax -> PV entirely in VMEM, so the
+[Tq, Tk] score matrix never round-trips to HBM; the backward is a real fused
+flash backward (two Pallas kernels recomputing P from the saved softmax row
+stats), so the [Tq, Tk] probability matrix never hits HBM in either
+direction.
 
 Semantics match ``models.attention.masked_attention_xla``: additive
 large-negative masking over key AND query length masks plus an optional
 causal band; fully-masked query rows degrade to uniform attention (the
-reference's behavior for padded rows, attention.py:240-242).
+reference's behavior for padded rows, attention.py:240-242). The backward
+saves (row max m, row sum s) rather than lse so recomputed alignments equal
+the forward bit-for-bit (NEG - NEG = 0 avoids the catastrophic cancellation
+lse would hit on fully-masked rows), and ds is zeroed at masked positions
+because autodiff of the reference's jnp.where passes no gradient through the
+masked branch.
 
-Shapes here are small (Tq, Tk <= ~512 after reduction-factor slicing), so a
-row-blocked kernel with the full key range resident in VMEM is the
-speed-of-light design - no online-softmax rescaling passes needed. The
-backward pass delegates to the XLA reference implementation via custom_vjp
-(flash backward = recompute anyway; XLA fuses it well).
+Profitability: at the shipped short shapes (heads=4, head_dim=64, T <= ~512
+after reduction-factor slicing) XLA's fused attention wins - the narrow
+head_dim half-fills the MXU lanes and XLA fuses the surrounding projections.
+The kernel is a LONG-SEQUENCE specialist: ``pallas_profitable`` encodes the
+measured crossover, and ``use_pallas_attention="auto"`` in the config selects
+per trace-time shape (shapes are static, so this costs nothing at runtime).
 """
 
 from __future__ import annotations
@@ -30,9 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -2.0 ** 32 + 1.0
 
+# Measured on-chip crossover (scripts/perf_ab_attn.py on v5e, B=16 H=4 D=64
+# bf16 causal: T=512 1.00x, T=1024 1.04x bwd, T=2048 1.08x bwd, T=4096 1.75x
+# fwd / 1.47x fwd+bwd; README "Measured" table). Below this many score-matrix
+# elements per (batch, head), XLA's fused attention ties or wins at the
+# shipped head geometry, so "auto" stays on XLA there.
+PALLAS_MIN_SCORE_ELEMENTS = 1024 * 1024
 
-def _attention_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref, *,
-                      scale: float, causal: bool, bq: int):
+
+def pallas_profitable(tq: int, tk: int) -> bool:
+    """Static (trace-time) auto-selection rule for ``use_pallas='auto'``."""
+    return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
+
+
+def _block_size(t: int, cap: int = 256) -> int:
+    """Largest divisor of t up to ``cap`` that keeps sublane alignment;
+    0 if none exists (ragged -> caller falls back to XLA)."""
+    for cand in range(min(t, cap), 7, -1):
+        if t % cand == 0 and cand % 8 == 0:
+            return cand
+    return 0
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# -- forward -----------------------------------------------------------------
+
+
+def _fwd_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, s_ref,
+                *, scale: float, causal: bool, bq: int):
     """Grid: (batch, heads, q_blocks). Blocks: q [bq, d], k/v [tk, d]."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -62,6 +99,246 @@ def _attention_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[0, 0] = jax.lax.dot_general(
         align, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # softmax stats saved for the backward: (m, s) rather than lse so the
+    # backward's exp(logits - m) reproduces the forward EXACTLY, including
+    # fully-masked rows (NEG - NEG = 0 with no catastrophic cancellation)
+    m_ref[0, 0, :, 0] = m[:, 0]
+    s_ref[0, 0, :, 0] = s[:, 0]
+
+
+def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal,
+                    with_stats: bool = False):
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    bq = _block_size(Tq)
+    if bq == 0:  # ragged Tq: shapes are bucketed upstream, so this is cold
+        out = _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal)
+        if with_stats:
+            raise ValueError("ragged Tq has no fused path")
+        return out
+    n_q_blocks = Tq // bq
+
+    if q_lengths is None:
+        q_lengths = jnp.full((B,), Tq, jnp.int32)
+    if m_lengths is None:
+        m_lengths = jnp.full((B,), Tk, jnp.int32)
+
+    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal, bq=bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # qlen, mlen
+        grid=(B, H, n_q_blocks),
+        # index maps receive (grid..., scalar_prefetch_refs...)
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i, *_: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+            # stats ride a trailing singleton lane dim: Mosaic requires the
+            # last two block dims to divide (8, 128) or equal the array dims
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, *_: (b, h, i, 0)),
+        ],
+    )
+    o, sm_m, sm_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tq * Tk * D * 2,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Tq * Tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q_lengths.astype(jnp.int32), m_lengths.astype(jnp.int32), q, k, v)
+    return (o, sm_m, sm_s) if with_stats else o
+
+
+# -- backward ----------------------------------------------------------------
+
+
+def _dq_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, do_ref, m_ref,
+               s_ref, delta_ref, dq_ref, *, scale: float, causal: bool,
+               bq: int, bk: int):
+    """Grid: (batch, heads, q_blocks, k_blocks); dq accumulates in VMEM
+    across the inner k loop (the output block's index map ignores ki, so
+    Mosaic keeps it resident). fp32 accumulator; VMEM holds only
+    [bq, d] + [bk, d] tiles and one [bq, bk] score block, so sequence
+    length is bounded by HBM, not VMEM.
+
+    Gradient semantics exactly match autodiff of the XLA reference:
+    align = exp(logits - m)/s reproduces the forward bit-for-bit (including
+    uniform rows where everything was masked to NEG: NEG - NEG = 0), and ds
+    is zeroed at masked positions because the reference's jnp.where passes
+    no gradient through its masked branch."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q = q_ref[0, 0].astype(jnp.float32)      # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)      # [bk, d]
+    v = v_ref[0, 0].astype(jnp.float32)      # [bk, d]
+    do = do_ref[0, 0].astype(jnp.float32)    # [bq, d]
+    sm_m = m_ref[0, 0, :, 0]                 # [bq] row max of masked logits
+    sm_s = s_ref[0, 0, :, 0]                 # [bq] row sum of exp
+    delta = delta_ref[0, 0, :, 0]            # [bq]
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    q_len = qlen_ref[b]
+    m_len = mlen_ref[b]
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = jnp.logical_and(row_ids < q_len, col_ids < m_len)
+    if causal:
+        mask = jnp.logical_and(mask, col_ids <= row_ids)
+    logits = jnp.where(mask, logits, NEG)
+    align = jnp.exp(logits - sm_m[:, None]) / sm_s[:, None]
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [bq, bk]
+    ds = jnp.where(mask, align * (dp - delta[:, None]), 0.0)
+    dq_ref[0, 0] += jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+
+def _dkv_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, do_ref, m_ref,
+                s_ref, delta_ref, dk_ref, dv_ref, *, scale: float,
+                causal: bool, bk: int, bq: int):
+    """Grid: (batch, heads, k_blocks, q_blocks); dk/dv accumulate in VMEM
+    across the inner q loop (fp32 accumulators)."""
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    q = q_ref[0, 0].astype(jnp.float32)      # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)      # [bk, d]
+    v = v_ref[0, 0].astype(jnp.float32)      # [bk, d]
+    do = do_ref[0, 0].astype(jnp.float32)    # [bq, d]
+    sm_m = m_ref[0, 0, :, 0]                 # [bq]
+    sm_s = s_ref[0, 0, :, 0]                 # [bq]
+    delta = delta_ref[0, 0, :, 0]            # [bq]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    # transposed score block: [bk, bq]
+    logits_t = jax.lax.dot_general(
+        k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    q_len = qlen_ref[b]
+    m_len = mlen_ref[b]
+    col_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0)
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1)
+    mask = jnp.logical_and(row_ids < q_len, col_ids < m_len)
+    if causal:
+        mask = jnp.logical_and(mask, col_ids <= row_ids)
+    logits_t = jnp.where(mask, logits_t, NEG)
+    align_t = jnp.exp(logits_t - sm_m[None, :]) / sm_s[None, :]  # [bk, bq]
+    dv_ref[0, 0] += jax.lax.dot_general(
+        align_t, do, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp_t = jax.lax.dot_general(
+        v, do, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [bk, bq]
+    ds_t = jnp.where(mask, align_t * (dp_t - delta[None, :]), 0.0)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds_t, q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+
+def _pallas_backward(q, k, v, q_lengths, m_lengths, o, sm_m, sm_s, g, scale,
+                     causal):
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    bq = _block_size(Tq)
+    bk = _block_size(Tk)
+    if bq == 0 or bk == 0:
+        return None  # ragged: caller falls back to the XLA VJP
+
+    # delta = rowsum(dO * O): one cheap fused elementwise-reduce in XLA
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )
+    ql = q_lengths.astype(jnp.int32)
+    ml = m_lengths.astype(jnp.int32)
+    cost = pl.CostEstimate(
+        flops=3 * 2 * B * H * Tq * Tk * D,
+        bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+        transcendentals=B * H * Tq * Tk)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal, bq=bq,
+                          bk=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            # inner loop over k blocks; dq block (indexed by qi only) stays
+            # resident in VMEM and accumulates in fp32
+            grid=(B, H, Tq // bq, Tk // bk),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D),
+                                   lambda b, h, i, j, *_: (b, h, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
+        cost_estimate=cost,
+        **common,
+    )(ql, ml, q, k, v, g, sm_m, sm_s, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal, bk=bk,
+                          bq=bq),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            # inner loop over q blocks; dk/dv blocks accumulate in VMEM
+            grid=(B, H, Tk // bk, Tq // bq),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v.shape, jnp.float32)],
+        cost_estimate=cost,
+        **common,
+    )(ql, ml, q, k, v, g, sm_m, sm_s, delta)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# -- public entry with custom VJP ---------------------------------------------
 
 
 def _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal):
@@ -73,52 +350,6 @@ def _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal):
     return out
 
 
-def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal):
-    B, H, Tq, D = q.shape
-    Tk = k.shape[2]
-    # largest divisor of Tq up to 256 that keeps sublane alignment
-    bq = 0
-    for cand in range(min(Tq, 256), 7, -1):
-        if Tq % cand == 0 and cand % 8 == 0:
-            bq = cand
-            break
-    if bq == 0:  # ragged Tq: shapes are bucketed upstream, so this is cold
-        return _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal)
-    n_q_blocks = Tq // bq
-
-    if q_lengths is None:
-        q_lengths = jnp.full((B,), Tq, jnp.int32)
-    if m_lengths is None:
-        m_lengths = jnp.full((B,), Tk, jnp.int32)
-
-    kernel = functools.partial(_attention_kernel, scale=scale, causal=causal,
-                               bq=bq)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # qlen, mlen
-        grid=(B, H, n_q_blocks),
-        # index maps receive (grid..., scalar_prefetch_refs...)
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tk, D), lambda b, h, i, *_: (b, h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Tq * Tk * D * 2,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=B * H * Tq * Tk,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=jax.default_backend() != "tpu",  # CPU tests use interpreter
-    )(q_lengths.astype(jnp.int32), m_lengths.astype(jnp.int32), q, k, v)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def masked_flash_attention(q, k, v, q_lengths, m_lengths,
                            scale: float = 1.0, causal: bool = False):
@@ -128,12 +359,28 @@ def masked_flash_attention(q, k, v, q_lengths, m_lengths,
 
 
 def _fwd(q, k, v, q_lengths, m_lengths, scale, causal):
-    out = _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal)
-    return out, (q, k, v, q_lengths, m_lengths)
+    B, Tq, Tk = q.shape[0], q.shape[2], k.shape[2]
+    if _block_size(Tq) == 0:
+        out = _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal)
+        return out, (q, k, v, q_lengths, m_lengths, None, None, None)
+    ql = (q_lengths if q_lengths is not None
+          else jnp.full((B,), Tq, jnp.int32))
+    ml = (m_lengths if m_lengths is not None
+          else jnp.full((B,), Tk, jnp.int32))
+    out, sm_m, sm_s = _pallas_forward(q, k, v, ql, ml, scale, causal,
+                                      with_stats=True)
+    return out, (q, k, v, ql, ml, out, sm_m, sm_s)
 
 
 def _bwd(scale, causal, res, g):
-    q, k, v, q_lengths, m_lengths = res
+    q, k, v, q_lengths, m_lengths, o, sm_m, sm_s = res
+    if sm_m is not None and _block_size(k.shape[2]) != 0:
+        grads = _pallas_backward(q, k, v, q_lengths, m_lengths, o, sm_m,
+                                 sm_s, g, scale, causal)
+        if grads is not None:
+            dq, dk, dv = grads
+            return dq, dk, dv, None, None
+    # ragged shapes: delegate to the XLA reference VJP
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(q_, k_, v_, q_lengths, m_lengths,
                                           scale, causal), q, k, v)

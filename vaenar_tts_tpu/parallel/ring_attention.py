@@ -74,21 +74,37 @@ def _local_ring_attention(q_l, k_l, v_l, lengths, *, scale: float,
 
 
 def ring_self_attention(q, k, v, lengths, mesh: Mesh, *, scale: float = 1.0,
-                        causal: bool = False, axis: str = "model"):
+                        causal: bool = False, axis: str = "model",
+                        batch_axis: Optional[str] = None):
     """Sequence-parallel masked self-attention.
 
     q, k, v: [B, H, T, D] with T divisible by mesh.shape[axis]; lengths [B].
-    Returns contexts [B, H, T, D], time-sharded over ``axis``.
+    Returns contexts [B, H, T, D], time-sharded over ``axis``. When
+    ``batch_axis`` is given (and B divides its size), the batch dim stays
+    sharded over it inside the shard_map region, composing SP with DP instead
+    of silently all-gathering DP activations.
     """
     n = mesh.shape[axis]
     assert q.shape[2] % n == 0, (q.shape, n)
+    ba = batch_axis
+    if ba is not None and (mesh.shape[ba] <= 1
+                           or q.shape[0] % mesh.shape[ba] != 0):
+        ba = None
     fn = functools.partial(_local_ring_attention, scale=scale, causal=causal,
                            axis=axis)
+    qkv_spec = P(ba, None, axis, None)
     shard = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, None, axis, None), P(None, None, axis, None),
-                  P(None, None, axis, None), P()),
-        out_specs=P(None, None, axis, None),
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(ba)),
+        out_specs=qkv_spec,
         check_vma=False,
     )
     return shard(q, k, v, lengths)
+
+
+def ring_eligible(mesh: Optional[Mesh], axis: str, tq: int, tk: int) -> bool:
+    """Static trace-time check: can this (self-)attention run on the ring?"""
+    if mesh is None or axis not in mesh.axis_names:
+        return False
+    n = mesh.shape[axis]
+    return n > 1 and tq == tk and tq % n == 0

@@ -43,6 +43,17 @@ class TrainState:
                    opt_state=d["opt_state"], epoch=int(d["epoch"]))
 
 
+def plots_variant(hp: HParams) -> HParams:
+    """Same architecture with the fused Pallas attention disabled, so
+    cross-attention alignments are materialized for plotting; the param tree
+    is identical, so trained params apply unchanged (fixes the silent
+    alignment-plot dropout when the fused path is on)."""
+    if hp.train.use_pallas_attention in (False, "off"):
+        return hp
+    return hp.replace(train=dataclasses.replace(
+        hp.train, use_pallas_attention=False))
+
+
 def make_optimizer(hp: HParams) -> optax.GradientTransformation:
     # reference train.py:116-117: Adam(1.25e-4, 0.9, 0.999, eps=1e-7)
     return optax.adam(hp.train.learning_rate, b1=hp.train.adam_beta1,
@@ -173,11 +184,13 @@ def make_inference_step(hp: HParams, model: VAENAR) -> Callable:
 
 def run_data_dependent_init(hp: HParams, model: VAENAR, params, batch_stats,
                             texts, t_lens, m_lens, max_mel_length: int,
-                            seed: int = 0):
+                            seed: int = 0, keys=None):
     """The reference's init_step (train.py:171-179, models.py:212-226):
     one forward pass whose ActNorm stats become the initial flow params.
     ``max_mel_length`` is the padded mel time of the init batch. Jitted:
-    run once per cold start (eager apply would dispatch per-op)."""
+    run once per cold start (eager apply would dispatch per-op).
+    ``keys``: optional (sample_key, dropout_key) override — multi-process
+    callers pass replicated global keys so the jit spans the global mesh."""
 
     @jax.jit
     def _init(params, batch_stats, texts, m_lens, t_lens, k1, k2):
@@ -189,6 +202,7 @@ def run_data_dependent_init(hp: HParams, model: VAENAR, params, batch_stats,
             mutable=["flow_init", "batch_stats"])
         return aux.get("flow_init", {})
 
-    flow_init = _init(params, batch_stats, texts, m_lens, t_lens,
-                      jax.random.key(seed), jax.random.key(seed + 1))
+    k1, k2 = keys if keys is not None else (jax.random.key(seed),
+                                            jax.random.key(seed + 1))
+    flow_init = _init(params, batch_stats, texts, m_lens, t_lens, k1, k2)
     return merge_flow_init(params, flow_init)
