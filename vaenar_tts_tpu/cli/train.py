@@ -60,9 +60,14 @@ def main(argv=None) -> None:
                       os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+    dist = None
     if args.distributed:
-        import jax
-        jax.distributed.initialize()
+        from ..parallel.distributed import DistContext, initialize_from_env
+        initialize_from_env()
+        if jax.process_count() > 1:
+            dist = DistContext()
+            print(f"distributed: process {dist.process_index}/"
+                  f"{dist.process_count}, {len(jax.devices())} global devices")
 
     # Resume: if the model_dir already holds a checkpoint, the persisted
     # hparams.json is the base config, so a bare re-invocation restores the
@@ -88,7 +93,8 @@ def main(argv=None) -> None:
 
     train(hparams, args.data_dir, args.model_dir, args.log_dir,
           test_dir=args.test_dir, max_epochs=args.max_epochs,
-          steps_per_epoch=args.steps_per_epoch, log_every=args.log_every)
+          steps_per_epoch=args.steps_per_epoch, log_every=args.log_every,
+          dist=dist)
 
 
 if __name__ == "__main__":

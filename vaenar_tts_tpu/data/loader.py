@@ -51,7 +51,12 @@ class BucketedLoader:
                  shuffle: bool = True, seed: int = 0,
                  drop_last: bool = False, pad_batch: bool = True,
                  shard_index: int = 0, shard_count: int = 1,
-                 mel_len_cap: Optional[int] = None):
+                 mel_len_cap: Optional[int] = None,
+                 fixed_text_max: Optional[int] = None,
+                 fixed_mel_max: Optional[int] = None):
+        """``fixed_text_max``/``fixed_mel_max`` pin every batch to ONE static
+        shape (multi-process training: all processes must trace the same
+        program even though they own disjoint shard-sets)."""
         self.readers = [RecordShardReader(p) for p in shard_paths]
         self.batch_size = batch_size
         self.mel_bucket = mel_bucket
@@ -62,6 +67,8 @@ class BucketedLoader:
         self.pad_batch = pad_batch
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.fixed_text_max = fixed_text_max
+        self.fixed_mel_max = fixed_mel_max
 
         # global index: (reader_idx, local_idx), sorted by mel length so each
         # batch has near-uniform lengths (minimal padding)
@@ -87,15 +94,25 @@ class BucketedLoader:
     def num_utterances(self) -> int:
         return len(self._entries)
 
+    @property
+    def max_text_len(self) -> int:
+        return max((t for (_, t, _, _) in self._entries), default=0)
+
+    @property
+    def max_mel_len(self) -> int:
+        return max((m for (m, _, _, _) in self._entries), default=0)
+
     def _make_batch(self, idxs: Sequence[Tuple[int, int, int, int]]) -> Batch:
         n_valid = len(idxs)
         entries = list(idxs)
         if self.pad_batch and n_valid < self.batch_size:
             entries = entries + [entries[-1]] * (self.batch_size - n_valid)
-        text_max = pad_to_multiple(max(t for (_, t, _, _) in entries),
-                                   self.text_bucket)
-        mel_max = pad_to_multiple(max(m for (m, _, _, _) in entries),
-                                  self.mel_bucket)
+        text_max = (self.fixed_text_max if self.fixed_text_max is not None
+                    else pad_to_multiple(max(t for (_, t, _, _) in entries),
+                                         self.text_bucket))
+        mel_max = (self.fixed_mel_max if self.fixed_mel_max is not None
+                   else pad_to_multiple(max(m for (m, _, _, _) in entries),
+                                        self.mel_bucket))
         B = len(entries)
         texts = np.zeros((B, text_max), np.int32)
         mels = np.zeros((B, mel_max, self.num_mels), np.float32)

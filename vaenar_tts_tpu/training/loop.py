@@ -40,21 +40,64 @@ from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
                     make_test_step, make_train_step, run_data_dependent_init)
 
 
-def make_loaders(hp: HParams, data_dir: str):
-    # multi-host: each process takes a round-robin slice of the batch list
-    # (the per-shard record layout mirrors the reference's 8 train shards)
+def make_loaders(hp: HParams, data_dir: str, dist=None):
+    """Single-process: bucketed loaders over all shards. Multi-process
+    (``dist`` = a DistContext): the TRAIN loader owns a disjoint SET of .vrs
+    shards (the reference's 8-shard layout is exactly this affordance,
+    reference tf_record_utils.py:72-85) with the local batch =
+    global_batch / process_count and every batch pinned to one globally
+    synced static shape; the DEV loader takes a round-robin slice of the
+    batch list (dev is one shard; eval work splits n_hosts ways)."""
+    mel_b, text_b = hp.dataset.mel_bucket, hp.dataset.text_bucket
+    if dist is not None and dist.process_count > 1:
+        from ..data.loader import pad_to_multiple
+        from ..parallel.distributed import partition_shards
+        pc = dist.process_count
+        local_bs = hp.train.train_batch_size // pc
+        if local_bs * pc != hp.train.train_batch_size:
+            raise ValueError(
+                f"train_batch_size {hp.train.train_batch_size} must divide "
+                f"by process_count {pc}")
+        train = BucketedLoader(
+            partition_shards(list_shards(data_dir, "train")), local_bs,
+            mel_bucket=mel_b, text_bucket=text_b, shuffle=hp.train.shuffle,
+            seed=hp.train.random_seed + dist.process_index, drop_last=True)
+        train.fixed_text_max = pad_to_multiple(
+            dist.sync_max(train.max_text_len), text_b)
+        train.fixed_mel_max = pad_to_multiple(
+            dist.sync_max(train.max_mel_len), mel_b)
+        dev = BucketedLoader(
+            list_shards(data_dir, "dev"), local_bs,
+            mel_bucket=mel_b, text_bucket=text_b, shuffle=False,
+            seed=hp.train.random_seed,
+            shard_index=dist.process_index, shard_count=pc)
+        dev.fixed_text_max = pad_to_multiple(dev.max_text_len, text_b)
+        dev.fixed_mel_max = pad_to_multiple(dev.max_mel_len, mel_b)
+        # test loader is NOT sharded: every process reads the same batch and
+        # feeds its row-slice of it, so the global test batch (and therefore
+        # the artifacts process 0 writes) is identical to a single-process run
+        if hp.train.test_batch_size % pc != 0:
+            raise ValueError(
+                f"test_batch_size {hp.train.test_batch_size} must divide "
+                f"by process_count {pc}")
+        test = BucketedLoader(
+            list_shards(data_dir, "test"), hp.train.test_batch_size,
+            mel_bucket=mel_b, text_bucket=text_b, shuffle=False,
+            seed=hp.train.random_seed)
+        test.fixed_text_max = pad_to_multiple(test.max_text_len, text_b)
+        test.fixed_mel_max = pad_to_multiple(test.max_mel_len, mel_b)
+        return train, dev, test
     train = BucketedLoader(
         list_shards(data_dir, "train"), hp.train.train_batch_size,
-        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
-        shuffle=hp.train.shuffle, seed=hp.train.random_seed, drop_last=True,
-        shard_index=jax.process_index(), shard_count=jax.process_count())
+        mel_bucket=mel_b, text_bucket=text_b,
+        shuffle=hp.train.shuffle, seed=hp.train.random_seed, drop_last=True)
     dev = BucketedLoader(
         list_shards(data_dir, "dev"), hp.train.train_batch_size,
-        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        mel_bucket=mel_b, text_bucket=text_b,
         shuffle=False, seed=hp.train.random_seed)
     test = BucketedLoader(
         list_shards(data_dir, "test"), hp.train.test_batch_size,
-        mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
+        mel_bucket=mel_b, text_bucket=text_b,
         shuffle=False, seed=hp.train.random_seed)
     return train, dev, test
 
@@ -63,24 +106,42 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
           test_dir: Optional[str] = None,
           max_epochs: Optional[int] = None,
           steps_per_epoch: Optional[int] = None,
-          log_every: int = 50) -> TrainState:
-    """Run (or resume) training. Returns the final TrainState."""
+          log_every: int = 50, dist=None) -> TrainState:
+    """Run (or resume) training. Returns the final TrainState.
+
+    ``dist``: a parallel.distributed.DistContext for multi-process (pod)
+    training — model state is replicated on the global mesh, each process
+    feeds its shard-set's slice of the global data-parallel batch, dev eval
+    splits across processes, and process 0 writes checkpoints/artifacts."""
+    if dist is not None and dist.process_count == 1:
+        dist = None
+    is_main = dist is None or dist.is_main
     test_dir = test_dir or os.path.join(log_dir, "test")
     tester = TestUtils(hp, test_dir)
-    metrics_train = MetricsWriter(os.path.join(log_dir, "train"))
-    metrics_dev = MetricsWriter(os.path.join(log_dir, "dev"))
+    metrics_train = MetricsWriter(os.path.join(
+        log_dir, "train" if is_main else f"train_p{dist.process_index}"))
+    metrics_dev = MetricsWriter(os.path.join(
+        log_dir, "dev" if is_main else f"dev_p{dist.process_index}"))
 
-    train_loader, dev_loader, test_loader = make_loaders(hp, data_dir)
+    train_loader, dev_loader, test_loader = make_loaders(hp, data_dir, dist)
     print(f"train batches/epoch: {len(train_loader)}, "
           f"dev: {len(dev_loader)}, test: {len(test_loader)}")
     print(f"shape census (text_max, mel_max) -> count: "
           f"{train_loader.shape_census()}")
+    # lockstep: every process must run the same number of global steps
+    steps_cap = dist.sync_min(len(train_loader)) if dist else None
+    if dist and steps_cap != len(train_loader):
+        print(f"lockstep cap: {steps_cap} steps/epoch "
+              f"(local loader has {len(train_loader)})")
 
     model = VAENAR(hp)
     optimizer = make_optimizer(hp)
     train_step = make_train_step(hp, model, optimizer)
     dev_step = make_dev_step(hp, model)
-    test_step = make_test_step(hp, model)
+    # test synthesis uses the plots twin (fused attention off) so alignment
+    # artifacts stay available whatever kernel the hot path runs
+    from .steps import plots_variant
+    test_step = make_test_step(hp, VAENAR(plots_variant(hp)))
     # jit-recompile detector (the reference's 'tracing back at...' prints)
     retrace = RetraceMonitor(train_step=train_step, dev_step=dev_step,
                              test_step=test_step)
@@ -94,34 +155,73 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
 
     ckpt = CheckpointManager(model_dir,
                              max_to_keep=hp.train.checkpoint_max_to_keep,
-                             keep_every_n_hours=hp.train.checkpoint_keep_every_n_hours)
+                             keep_every_n_hours=hp.train.checkpoint_keep_every_n_hours,
+                             solo_process=dist is not None)
     restored = ckpt.restore(state.as_dict())
     # persist only after the restore attempt: writing first would clobber the
     # trained architecture's hparams.json when a mismatched resume crashes
-    save_hparams(hp, model_dir)  # inference reconstructs this architecture
+    if is_main:
+        save_hparams(hp, model_dir)  # inference reconstructs this architecture
     rng = jax.random.key(hp.train.random_seed)
+
+    def _ckpt_save(epoch: int, st: TrainState, wait: bool = False) -> None:
+        # multi-process: process 0 writes host copies of the replicated state
+        # (shared filesystem, as the reference assumes); others wait at the
+        # barrier so a restart never races a half-written save
+        if dist is None:
+            ckpt.save(epoch, st.as_dict(), wait=wait)
+        else:
+            if dist.is_main:
+                host = dict(dist.to_host(
+                    {"params": st.params, "batch_stats": st.batch_stats,
+                     "opt_state": st.opt_state}), epoch=st.epoch)
+                ckpt.save(epoch, host, wait=True)
+            dist.barrier(f"ckpt_{epoch}")
+
+    def _key(k):
+        return dist.key(k) if dist is not None else k
+
+    def _f32(x):
+        return dist.scalar(x) if dist is not None else jnp.float32(x)
+
     if restored is not None:
         state = TrainState.from_dict(restored)
         print(f"Restored from epoch {state.epoch}")
+        if dist is not None:
+            state = TrainState(
+                dist.replicate(state.params), dist.replicate(state.batch_stats),
+                dist.replicate(state.opt_state), epoch=state.epoch)
     else:
         print("Initializing from scratch (data-dependent flow init).")
         first = next(iter(train_loader.epoch(0)))
+        if dist is not None:
+            state = TrainState(
+                dist.replicate(state.params), dist.replicate(state.batch_stats),
+                dist.replicate(state.opt_state), epoch=0)
+            f_texts, f_mels, f_tlens, f_mlens = dist.global_batch(
+                first.texts, first.mels, first.text_lengths,
+                first.mel_lengths)
+            init_keys = (_key(jax.random.key(hp.train.random_seed)),
+                         _key(jax.random.key(hp.train.random_seed + 1)))
+        else:
+            f_texts, f_mels, f_tlens, f_mlens = (
+                jnp.asarray(first.texts), jnp.asarray(first.mels),
+                jnp.asarray(first.text_lengths), jnp.asarray(first.mel_lengths))
+            init_keys = None
         new_params = run_data_dependent_init(
             hp, model, state.params, state.batch_stats,
-            jnp.asarray(first.texts), jnp.asarray(first.text_lengths),
-            jnp.asarray(first.mel_lengths),
+            f_texts, f_tlens, f_mlens,
             max_mel_length=first.mels.shape[1],
-            seed=hp.train.random_seed)
+            seed=hp.train.random_seed, keys=init_keys)
         state.params = new_params
         state.opt_state = optimizer.init(new_params)
-        ckpt.save(0, state.as_dict())
+        _ckpt_save(0, state)
         # priming step at max reduction factor (reference train.py:262-266)
         rng, sub = jax.random.split(rng)
         p, bs, os_, m = train_step(
             state.params, state.batch_stats, state.opt_state,
-            jnp.asarray(first.texts), jnp.asarray(first.mels),
-            jnp.asarray(first.text_lengths), jnp.asarray(first.mel_lengths),
-            jnp.float32(hp.train.kl_weight_init), sub,
+            f_texts, f_mels, f_tlens, f_mlens,
+            _f32(hp.train.kl_weight_init), _key(sub),
             reduction_factor=hp.common.max_reduction_factor)
         state = TrainState(p, bs, os_, epoch=0)
         print("Initial step:", {k: float(v) for k, v in m.items()})
@@ -144,7 +244,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     total_epochs = max_epochs if max_epochs is not None else hp.train.epochs
     for epoch in range(state.epoch + 1, total_epochs):
         if stop_requested["flag"]:
-            ckpt.save(state.epoch, state.as_dict(), wait=True)
+            _ckpt_save(state.epoch, state, wait=True)
             print(f"preemption checkpoint saved at epoch {state.epoch}")
             break
         kl_weight = hp.train.kl_weight_at(epoch)
@@ -156,9 +256,16 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         def to_device(batches):
             # host->device copies enqueue from the prefetch thread, one batch
             # ahead of compute (JAX dispatch is thread-safe + async)
-            for b in batches:
-                yield (jnp.asarray(b.texts), jnp.asarray(b.mels),
-                       jnp.asarray(b.text_lengths), jnp.asarray(b.mel_lengths))
+            for i, b in enumerate(batches):
+                if steps_cap is not None and i >= steps_cap:
+                    break  # lockstep across processes
+                if dist is not None:
+                    yield dist.global_batch(b.texts, b.mels, b.text_lengths,
+                                            b.mel_lengths)
+                else:
+                    yield (jnp.asarray(b.texts), jnp.asarray(b.mels),
+                           jnp.asarray(b.text_lengths),
+                           jnp.asarray(b.mel_lengths))
 
         for texts_d, mels_d, tlens_d, mlens_d in prefetch(
                 to_device(train_loader.epoch(epoch))):
@@ -167,7 +274,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
             p, bs, os_, m = train_step(
                 state.params, state.batch_stats, state.opt_state,
                 texts_d, mels_d, tlens_d, mlens_d,
-                jnp.float32(kl_weight), sub, reduction_factor=r)
+                _f32(kl_weight), _key(sub), reduction_factor=r)
             state = TrainState(p, bs, os_, epoch=state.epoch)
             n_steps += 1
             if n_steps % log_every == 0 or n_steps == 1:
@@ -190,19 +297,56 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         # much as a full one (the reference averages batch means equally).
         dev_sums: Dict[str, float] = {}
         n_dev_utts = 0
-        for batch in dev_loader.epoch(epoch):
-            rng, sub = jax.random.split(rng)
-            vmask = (np.arange(batch.texts.shape[0]) < batch.n_valid
-                     ).astype(np.float32)
-            m = dev_step(state.params, state.batch_stats,
-                         jnp.asarray(batch.texts), jnp.asarray(batch.mels),
-                         jnp.asarray(batch.text_lengths),
-                         jnp.asarray(batch.mel_lengths),
-                         jnp.float32(kl_weight), jnp.asarray(vmask), sub,
-                         reduction_factor=r)
-            for k, v in m.items():
-                dev_sums[k] = dev_sums.get(k, 0.0) + float(v) * batch.n_valid
-            n_dev_utts += batch.n_valid
+        if dist is None:
+            for batch in dev_loader.epoch(epoch):
+                rng, sub = jax.random.split(rng)
+                vmask = (np.arange(batch.texts.shape[0]) < batch.n_valid
+                         ).astype(np.float32)
+                m = dev_step(state.params, state.batch_stats,
+                             jnp.asarray(batch.texts), jnp.asarray(batch.mels),
+                             jnp.asarray(batch.text_lengths),
+                             jnp.asarray(batch.mel_lengths),
+                             jnp.float32(kl_weight), jnp.asarray(vmask), sub,
+                             reduction_factor=r)
+                for k, v in m.items():
+                    dev_sums[k] = (dev_sums.get(k, 0.0)
+                                   + float(v) * batch.n_valid)
+                n_dev_utts += batch.n_valid
+        else:
+            # each process evaluates its round-robin slice of the dev batches;
+            # all processes step in LOCKSTEP (a process whose slice ran dry
+            # re-feeds its last batch with n_valid=0 so the collective never
+            # stalls), and the weighted sums aggregate across processes
+            n_groups = -(-dev_loader.num_utterances // dev_loader.batch_size)
+            dev_steps = -(-n_groups // dist.process_count)
+            it = iter(dev_loader.epoch(epoch))
+            batch = None
+            for _ in range(dev_steps):
+                n_valid = 0
+                try:
+                    batch = next(it)
+                    n_valid = batch.n_valid
+                except StopIteration:
+                    pass  # keep the previous batch as a masked dummy
+                if batch is None:  # this process owns zero dev batches
+                    raise RuntimeError(
+                        "dev loader empty on a process; shrink process count "
+                        "or grow the dev set")
+                rng, sub = jax.random.split(rng)
+                vmask = (np.arange(batch.texts.shape[0]) < n_valid
+                         ).astype(np.float32)
+                g_texts, g_mels, g_tlens, g_mlens, g_vmask = dist.global_batch(
+                    batch.texts, batch.mels, batch.text_lengths,
+                    batch.mel_lengths, vmask)
+                m = dev_step(state.params, state.batch_stats,
+                             g_texts, g_mels, g_tlens, g_mlens,
+                             _f32(kl_weight), g_vmask, _key(sub),
+                             reduction_factor=r)
+                step_utts = int(dist.allsum(np.asarray([n_valid]))[0])
+                for k, v in m.items():
+                    # dev_step's vmean is already over the GLOBAL batch
+                    dev_sums[k] = dev_sums.get(k, 0.0) + float(v) * step_utts
+                n_dev_utts += step_utts
         dev_avg = {k: v / max(n_dev_utts, 1) for k, v in dev_sums.items()}
         print(f"Epoch {epoch} dev: {dev_avg}")
         metrics_dev.scalars(epoch, dev_avg)
@@ -210,11 +354,12 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         state.epoch = epoch
         if (epoch % hp.train.checkpoint_every_n_epochs == 0
                 or epoch == total_epochs - 1):
-            ckpt.save(epoch, state.as_dict())
+            _ckpt_save(epoch, state)
 
         if epoch % hp.train.test_interval == 0 and test_dir:
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
-                                epoch, r, rng, metrics_writer=metrics_dev)
+                                epoch, r, rng, metrics_writer=metrics_dev,
+                                dist=dist)
         if stop_requested["flag"]:
             print(f"stopping after epoch {epoch} (preemption)")
             break
@@ -225,19 +370,41 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
 
 
 def _run_test_artifacts(hp, state, test_step, test_loader, tester, epoch, r,
-                        rng, metrics_writer=None):
+                        rng, metrics_writer=None, dist=None):
     """Synthesize one test batch to wavs + plots (reference train.py:309-325),
     plus objective quality metrics vs ground truth (beyond reference, which
-    only eyeballs wavs): mel-L1/L2 and MCD over the valid frames."""
+    only eyeballs wavs): mel-L1/L2 and MCD over the valid frames.
+
+    Multi-process: every process feeds its row-slice of the SAME test batch
+    (the test loader is unsharded), the synthesis runs as one global jit, and
+    process 0 pulls the full result and writes the same artifacts a
+    single-process run would."""
     try:
         batch = next(iter(test_loader.epoch(epoch)))
     except StopIteration:
         return
-    mels, ali = test_step(
-        state.params, state.batch_stats, jnp.asarray(batch.texts),
-        jnp.asarray(batch.text_lengths), jnp.asarray(batch.mel_lengths), rng,
-        reduction_factor=r, max_mel_length=batch.mels.shape[1])
-    mels = np.asarray(mels, np.float32)
+    if dist is not None:
+        k = batch.texts.shape[0] // dist.process_count
+        rows = slice(dist.process_index * k, (dist.process_index + 1) * k)
+        g_texts, g_tlens, g_mlens = dist.global_batch(
+            batch.texts[rows], batch.text_lengths[rows],
+            batch.mel_lengths[rows])
+        mels, ali = test_step(
+            state.params, state.batch_stats, g_texts, g_tlens, g_mlens,
+            dist.key(rng), reduction_factor=r,
+            max_mel_length=batch.mels.shape[1])
+        # collective pulls: EVERY process participates, then only main writes
+        mels = dist.fetch(mels).astype(np.float32)
+        ali = {name: (None if a is None else dist.fetch(a))
+               for name, a in ali.items()}
+        if not dist.is_main:
+            return
+    else:
+        mels, ali = test_step(
+            state.params, state.batch_stats, jnp.asarray(batch.texts),
+            jnp.asarray(batch.text_lengths), jnp.asarray(batch.mel_lengths),
+            rng, reduction_factor=r, max_mel_length=batch.mels.shape[1])
+        mels = np.asarray(mels, np.float32)
 
     from ..utils.metrics import batch_summary
     pairs = [(mels[i][: int(batch.mel_lengths[i])],
@@ -251,8 +418,8 @@ def _run_test_artifacts(hp, state, test_step, test_loader, tester, epoch, r,
                                        "test_mel_l2": quality["mel_l2"],
                                        "test_mcd_db": quality["mcd_db"]})
     try:
-        tester.synthesize_and_save_wavs(epoch, mels, batch.mel_lengths,
-                                        batch.fids, "test")
+        tester.synthesize_and_save_wavs_auto(epoch, mels, batch.mel_lengths,
+                                             batch.fids, "test")
     except Exception as e:  # reference swallows vocoder failures (train.py:314-318)
         print(f"Something wrong with the generated waveform: {e}")
     tester.draw_melspectrograms(epoch, mels, batch.mel_lengths, batch.fids,

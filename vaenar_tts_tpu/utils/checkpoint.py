@@ -19,13 +19,27 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, model_dir: str, max_to_keep: int = 20,
-                 keep_every_n_hours: float = 4.0):
+                 keep_every_n_hours: float = 4.0, solo_process: bool = False):
+        """``solo_process``: multi-process training runs where only process 0
+        writes (host copies of the fully replicated state) and every process
+        restores independently from the shared filesystem. Scopes Orbax's
+        multihost coordination to THIS process so a single-process save/
+        restore never waits on a cross-process barrier."""
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
+        extra = {}
+        if solo_process:
+            pi = jax.process_index()
+            extra["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+                primary_host=pi, active_processes={pi},
+                barrier_sync_key_prefix=f"solo{pi}")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             keep_time_interval=datetime.timedelta(hours=keep_every_n_hours),
-            create=True,
+            # orbax forbids create=True with active_processes; the directory
+            # is created above either way
+            create=not solo_process,
+            **extra,
         )
         self._mgr = ocp.CheckpointManager(self.model_dir, options=options)
 
