@@ -266,3 +266,123 @@ class TacotronDecoder(nn.Module):
         residual = nn.Dense(self.out_dim, dtype=self.dtype,
                             name="post_projection")(post)
         return pre + residual, [ali1, ali2]
+
+
+class LocationSensitiveAttention(nn.Module):
+    """Stepwise location-sensitive additive attention
+    (reference attention.py:249-389: LocationSensitiveAttention wrapping
+    BahdanauAttentionCell in a keras RNN).
+
+    Per query step t: the previous (optionally cumulative) alignment weights
+    are convolved into location features, added into the additive score
+    sum(v * tanh(Wk k + Wq q_t + loc + b)) / temperature, masked over key
+    lengths, softmaxed, and the context is taken against the PROJECTED
+    memory (a reference quirk shared with BahdanauAttention, :111).
+
+    TPU-idiomatic: the recurrence is one lax.scan over query time with
+    explicit parameters (the location conv is a lax.conv, not a submodule,
+    so nothing is created inside the scan body); shapes are static, the
+    reference's ``max_state_size`` padding trick is unnecessary.
+    """
+
+    attention_dim: int
+    location_filter: int = 32
+    location_kernel: int = 31
+    cumulative_weights: bool = True
+    temperature: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, memory, query_lengths=None,
+                 memory_lengths=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """queries [B, Tq, Dq], memory [B, Tm, Dm] ->
+        (contexts [B, Tq, attention_dim], alignments [B, Tq, Tm])."""
+        B, Tq = queries.shape[0], queries.shape[1]
+        Tm = memory.shape[1]
+        A = self.attention_dim
+        w_query = nn.Dense(A, use_bias=False, dtype=self.dtype,
+                           name="query_layer")(queries)
+        w_memory = nn.Dense(A, use_bias=False, dtype=self.dtype,
+                            name="memory_layer")(memory)
+        conv_kernel = self.param(
+            "location_conv_kernel", nn.initializers.lecun_normal(),
+            (self.location_kernel, 1, self.location_filter))
+        loc_kernel = self.param(
+            "location_features_kernel", nn.initializers.lecun_normal(),
+            (self.location_filter, A))
+        score_v = self.param("attention_v", nn.initializers.normal(1.0), (A,))
+        score_b = self.param("attention_b", nn.initializers.zeros, (A,))
+
+        if memory_lengths is None:
+            key_mask = jnp.ones((B, Tm), bool)
+        else:
+            key_mask = sequence_mask(memory_lengths, Tm)
+        w_mem32 = w_memory.astype(jnp.float32)
+        wq32 = w_query.astype(jnp.float32)
+
+        def step(prev_weights, q_t):
+            # location features from the previous alignments
+            f = jax.lax.conv_general_dilated(
+                prev_weights[..., None], conv_kernel.astype(jnp.float32),
+                window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"))  # [B, Tm, filters]
+            loc = f @ loc_kernel.astype(jnp.float32)      # [B, Tm, A]
+            energy = jnp.sum(
+                score_v * jnp.tanh(w_mem32 + q_t[:, None, :] + loc + score_b),
+                axis=2) / self.temperature                # [B, Tm]
+            energy = jnp.where(key_mask, energy, MASK_VALUE)
+            ali = jax.nn.softmax(energy, axis=1)
+            carry = ali + prev_weights if self.cumulative_weights else ali
+            return carry, ali
+
+        init = jnp.zeros((B, Tm), jnp.float32)
+        _, alignments = jax.lax.scan(step, init,
+                                     jnp.swapaxes(wq32, 0, 1))  # [Tq, B, Tm]
+        alignments = jnp.swapaxes(alignments, 0, 1)             # [B, Tq, Tm]
+        contexts = jnp.einsum("bqm,bmd->bqd",
+                              alignments.astype(w_memory.dtype), w_memory)
+        return contexts, alignments
+
+
+class DCNResidualBlock(nn.Module):
+    """Dilated-conv residual block (reference utils.py:276-306):
+    two SAME dilated convs with relu+dropout, residual, then BatchNorm."""
+
+    filters: int
+    kernel: int
+    dilation: int
+    drop_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
+                    kernel_dilation=(self.dilation,), dtype=self.dtype,
+                    name="dilated_conv1")(inputs)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(nn.relu(h))
+        h = nn.Conv(self.filters, (self.kernel,), padding="SAME",
+                    kernel_dilation=(self.dilation,), dtype=self.dtype,
+                    name="dilated_conv2")(h)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(nn.relu(h))
+        return nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                            name="batch_norm")(inputs + h)
+
+
+class DCNModule(nn.Module):
+    """Stack of DCN residual blocks with dilation 2^i
+    (reference utils.py:309-325)."""
+
+    n_block: int
+    filters: int
+    kernel: int
+    drop_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        x = inputs
+        for i in range(self.n_block):
+            x = DCNResidualBlock(self.filters, self.kernel, 2 ** i,
+                                 self.drop_rate, dtype=self.dtype,
+                                 name=f"DCN_residual_blk{i}")(x, train=train)
+        return x
