@@ -81,3 +81,15 @@ class TestMFCC:
         m = ap.mfcc(y)
         assert m.shape[0] == 3 * 13
         assert np.isfinite(m).all()
+
+
+def test_device_vocoder_probe(monkeypatch):
+    """Env override wins; otherwise only a direct-attached TPU qualifies
+    (the CPU test backend must choose host threads)."""
+    from vaenar_tts_tpu.audio.export import device_vocoder_capable
+    monkeypatch.delenv("VAENAR_JAX_VOCODER", raising=False)
+    assert device_vocoder_capable() is False  # CPU backend in tests
+    monkeypatch.setenv("VAENAR_JAX_VOCODER", "1")
+    assert device_vocoder_capable() is True
+    monkeypatch.setenv("VAENAR_JAX_VOCODER", "0")
+    assert device_vocoder_capable() is False

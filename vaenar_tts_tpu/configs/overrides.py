@@ -17,10 +17,12 @@ from .hparams import HParams
 
 
 def _parse_value(raw: str, current: Any) -> Any:
-    if isinstance(current, bool):
-        if raw.lower() == "auto":  # tri-state knobs (use_pallas_attention)
+    # bools and tri-state bool/"auto" knobs (use_pallas_attention)
+    if isinstance(current, bool) or (isinstance(current, str)
+                                     and current in ("auto", "on", "off")):
+        if raw.lower() == "auto":
             return "auto"
-        return raw.lower() in ("1", "true", "yes")
+        return raw.lower() in ("1", "true", "yes", "on")
     if isinstance(current, int):
         return int(raw)
     if isinstance(current, float):
