@@ -116,3 +116,46 @@ class TestStreamingShardWriter:
             assert u.fid == fid
             np.testing.assert_array_equal(u.text, text)
             np.testing.assert_allclose(u.mel, mel)
+
+
+def test_plots_variant_restores_alignments():
+    """With the fused kernel forced on, MHA returns alignments=None; the
+    plots twin (identical params, kernel off) must restore them — the train
+    loop and inference CLI build artifact steps from it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vaenar_tts_tpu.configs.hparams import tiny_test_config
+    from vaenar_tts_tpu.models import VAENAR
+    from vaenar_tts_tpu.training.steps import (init_model, make_test_step,
+                                               plots_variant)
+
+    hp_on = tiny_test_config().replace(
+        train=dataclasses.replace(tiny_test_config().train,
+                                  use_pallas_attention=True))
+    hp_plots = plots_variant(hp_on)
+    assert hp_plots.train.use_pallas_attention is False
+    # identical param trees: trained params apply to either model
+    model_on, model_plots = VAENAR(hp_on), VAENAR(hp_plots)
+    params, bs = init_model(hp_on, model_on, 0, 16, 120)
+
+    texts = jnp.zeros((2, 16), jnp.int32)
+    t_lens = jnp.array([16, 10], jnp.int32)
+    m_lens = jnp.array([120, 80], jnp.int32)
+    rng = jax.random.key(0)
+
+    mels_on, ali_on = make_test_step(hp_on, model_on)(
+        params, bs, texts, t_lens, m_lens, rng, reduction_factor=2,
+        max_mel_length=120)
+    mels_p, ali_p = make_test_step(hp_plots, model_plots)(
+        params, bs, texts, t_lens, m_lens, rng, reduction_factor=2,
+        max_mel_length=120)
+    # fused path: cross alignments vanish; plots twin: present and plottable
+    assert all(a is None for a in ali_on.values())
+    assert ali_p and all(a is not None for a in ali_p.values())
+    # same synthesis up to kernel-order float noise
+    np.testing.assert_allclose(np.asarray(mels_on), np.asarray(mels_p),
+                               atol=2e-4)
