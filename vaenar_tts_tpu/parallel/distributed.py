@@ -21,6 +21,11 @@ Design contract (keeps the loop simple and correct):
     replicated state (shared filesystem, as the reference assumes), with a
     barrier so other processes never race a restore against a half-written
     save.
+
+Preemption contract: SIGTERM must be delivered to ALL processes (the normal
+behavior of job schedulers / `kill -TERM -- -pgid`) — each process then stops
+at the same epoch boundary and meets the checkpoint barrier; signaling a
+single process would leave the others waiting in a collective.
 """
 
 from __future__ import annotations

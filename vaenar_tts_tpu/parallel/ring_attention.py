@@ -39,8 +39,7 @@ def _local_ring_attention(q_l, k_l, v_l, lengths, *, scale: float,
 
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(carry, i):
-        kb, vb, m, s, o = carry
+    def accumulate(kb, vb, i, m, s, o):
         # the block we currently hold originated at shard (idx - i) mod n
         src = (idx - i) % n
         k_pos = src * Tl + jnp.arange(Tl)
@@ -60,15 +59,22 @@ def _local_ring_attention(q_l, k_l, v_l, lengths, *, scale: float,
         o_new = o * alpha[..., None] + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32),
             preferred_element_type=jnp.float32)
+        return m_new, s_new, o_new
+
+    def step(carry, i):
+        kb, vb, m, s, o = carry
+        m, s, o = accumulate(kb, vb, i, m, s, o)
         kb_next = jax.lax.ppermute(kb, axis, perm)
         vb_next = jax.lax.ppermute(vb, axis, perm)
-        return (kb_next, vb_next, m_new, s_new, o_new), None
+        return (kb_next, vb_next, m, s, o), None
 
     m0 = jnp.full((B, H, Tl), MASK_VALUE, jnp.float32)
     s0 = jnp.zeros((B, H, Tl), jnp.float32)
     o0 = jnp.zeros((B, H, Tl, D), jnp.float32)
-    (_, _, m, s, o), _ = jax.lax.scan(
-        step, (k_l, v_l, m0, s0, o0), jnp.arange(n))
+    # rotate only n-1 times: the last block needs no onward permute
+    (kb, vb, m, s, o), _ = jax.lax.scan(
+        step, (k_l, v_l, m0, s0, o0), jnp.arange(n - 1))
+    m, s, o = accumulate(kb, vb, n - 1, m, s, o)
     out = o / jnp.maximum(s, 1e-30)[..., None]
     return out.astype(q_l.dtype)
 
