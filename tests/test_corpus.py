@@ -120,3 +120,68 @@ class TestDeviceMelExtraction:
             a, b = np.load(hm), np.load(dm)
             assert a.shape == b.shape, (hm, a.shape, b.shape)
             np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_multiworker_preprocess_matches_single(tmp_path):
+    """Two workers over a shared save_dir (worker 0: text+split+its wav
+    slice+its shard slice; worker 1: waits on lists, its slices) produce
+    byte-identical record shards to a single-worker run."""
+    import filecmp
+
+    from tests.test_data import make_corpus_dir  # texts/mels fixture
+    from vaenar_tts_tpu.data.records import RecordWriter, list_shards
+
+    # build one extracted-features dir, then write records two ways
+    root = tmp_path / "feats"
+    root.mkdir()
+    make_corpus_dir(root, n=20, num_mels=16)
+
+    single = tmp_path / "single"
+    RecordWriter(str(root), str(single), train_split=4,
+                 num_mels=16).write_all()
+    multi = tmp_path / "multi"
+    for w in (0, 1):
+        RecordWriter(str(root), str(multi), train_split=4,
+                     num_mels=16).write_all(worker_index=w, worker_count=2)
+
+    for mode in ("train", "dev", "test"):
+        a = [p.split("/")[-1] for p in list_shards(str(single), mode)]
+        b = [p.split("/")[-1] for p in list_shards(str(multi), mode)]
+        assert a == b, (mode, a, b)
+        for name in a:
+            assert filecmp.cmp(str(single / name), str(multi / name),
+                               shallow=False), name
+
+
+def test_multiworker_extraction_slices_are_disjoint_and_complete(tmp_path,
+                                                                 monkeypatch):
+    """Worker wav slices partition the corpus; a non-zero worker waits for
+    worker 0's split lists."""
+    import pytest as _pytest
+
+    from vaenar_tts_tpu.configs.hparams import tiny_test_config
+    from vaenar_tts_tpu.data.corpus import TextMelCorpus
+
+    c = TextMelCorpus.__new__(TextMelCorpus)
+    wavs = [f"/x/{i:03d}.wav" for i in range(10)]
+    monkeypatch.setattr(TextMelCorpus, "get_wav_files", lambda self: wavs)
+    seen = []
+    import vaenar_tts_tpu.data.corpus as corpus_mod
+    monkeypatch.setattr(corpus_mod, "_extract_one",
+                        lambda args: seen.append(args[0]))
+    c.mel_dir = str(tmp_path)
+    c.hps = tiny_test_config()
+    c.extract_mels(num_workers=1, worker_index=0, worker_count=3)
+    c.extract_mels(num_workers=1, worker_index=1, worker_count=3)
+    c.extract_mels(num_workers=1, worker_index=2, worker_count=3)
+    assert sorted(seen) == sorted(wavs)
+    assert len(set(seen)) == len(wavs)
+
+    # waiting worker times out fast when worker 0 never ran
+    c2 = TextMelCorpus.__new__(TextMelCorpus)
+    c2.text_dict_f = str(tmp_path / "nope.pkl")
+    c2.train_list_f = str(tmp_path / "train.txt")
+    c2.dev_list_f = str(tmp_path / "dev.txt")
+    c2.test_list_f = str(tmp_path / "test.txt")
+    with _pytest.raises(TimeoutError):
+        c2._wait_for_lists(timeout=0.1)

@@ -39,21 +39,43 @@ def main(argv=None) -> None:
                              "(validated on the CPU backend; tunnel-attached "
                              "TPUs in this environment can be unstable "
                              "with large one-off programs)")
+    parser.add_argument("--worker_index", type=int, default=0,
+                        help="multi-host preprocessing: this host's index")
+    parser.add_argument("--worker_count", type=int, default=1,
+                        help="multi-host preprocessing over a shared "
+                             "save_dir: worker 0 runs text/split (others "
+                             "wait), every worker extracts its round-robin "
+                             "wav slice, then writes its slice of the train "
+                             "shards (dev/test on worker 0). Record shards "
+                             "draw fids across ALL workers' mels, so run "
+                             "phase 1 everywhere first (--skip_records), "
+                             "then the record phase (idempotent re-run "
+                             "without --skip_records)")
+    parser.add_argument("--skip_records", action="store_true", default=False,
+                        help="extraction only (multi-host phase 1)")
     args = parser.parse_args(argv)
 
     hps = get_config(args.dataset)
     corpus = CORPORA[args.dataset](args.data_dir, args.save_dir, hps)
     corpus.feature_extraction(num_workers=args.num_workers,
-                              use_device=args.device_mels)
+                              use_device=args.device_mels,
+                              worker_index=args.worker_index,
+                              worker_count=args.worker_count)
 
+    if args.skip_records:
+        print("Skipping record writing (--skip_records).")
+        return
     print("Writing sharded records...")
     writer = RecordWriter(args.save_dir, args.save_dir,
                           train_split=args.record_split,
                           num_mels=hps.audio.num_mels,
                           mel_dtype=args.mel_dtype)
-    paths = writer.write_all()
+    paths = writer.write_all(worker_index=args.worker_index,
+                             worker_count=args.worker_count)
     for mode, ps in paths.items():
         print(f"  {mode}: {len(ps)} shard(s)")
+    if args.worker_index != 0:
+        return  # smoke test reads all shards; only worker 0 sees them all
 
     # smoke test: one batch of shapes (reference preprocess.py:33-61)
     loader = BucketedLoader(list_shards(args.save_dir, "train"),

@@ -64,19 +64,47 @@ class TextMelCorpus:
     # -- public driver (reference datasets.py:34-50) --------------------------
 
     def feature_extraction(self, num_workers: Optional[int] = None,
-                           use_device: bool = False) -> None:
+                           use_device: bool = False, worker_index: int = 0,
+                           worker_count: int = 1,
+                           wait_timeout: float = 3600.0) -> None:
+        """Idempotent preprocessing, optionally sharded across hosts
+        (beyond reference; the reference is single-host, datasets.py:34-50).
+
+        Multi-host contract (shared filesystem): worker 0 runs the (cheap,
+        deterministic) text processing and split; other workers wait for the
+        list files to appear, then every worker extracts mels for its
+        round-robin slice of the wav list. Extraction is per-file idempotent,
+        so stragglers/retries are safe."""
         if self.feats_extract_finish():
             print("Features already exist!")
             with open(self.text_dict_f, "rb") as f:
                 self.text_dict = pickle.load(f)
             return
         self._validate_dir()
-        print("Processing text...")
-        self.text_dict = self.text_process()
-        print("Splitting into train/dev/test...")
-        self.dataset_split()
+        if worker_index == 0:
+            print("Processing text...")
+            self.text_dict = self.text_process()
+            print("Splitting into train/dev/test...")
+            self.dataset_split()
+        else:
+            self._wait_for_lists(wait_timeout)
+            with open(self.text_dict_f, "rb") as f:
+                self.text_dict = pickle.load(f)
         print("Extracting mel-spectrograms...")
-        self.extract_mels(num_workers=num_workers, use_device=use_device)
+        self.extract_mels(num_workers=num_workers, use_device=use_device,
+                          worker_index=worker_index,
+                          worker_count=worker_count)
+
+    def _wait_for_lists(self, timeout: float) -> None:
+        import time as _time
+        needed = [self.text_dict_f, self.train_list_f, self.dev_list_f,
+                  self.test_list_f]
+        t0 = _time.time()
+        while any(not os.path.isfile(f) for f in needed):
+            if _time.time() - t0 > timeout:
+                raise TimeoutError(
+                    f"worker waited {timeout}s for worker 0's split files")
+            _time.sleep(1.0)
 
     def _validate_dir(self) -> None:
         assert os.path.isdir(self.data_root), self.data_root
@@ -144,8 +172,13 @@ class TextMelCorpus:
         return wav_files
 
     def extract_mels(self, num_workers: Optional[int] = None,
-                     use_device: bool = False) -> None:
-        wav_list = self.get_wav_files()
+                     use_device: bool = False, worker_index: int = 0,
+                     worker_count: int = 1) -> None:
+        wav_list = sorted(self.get_wav_files())
+        if worker_count > 1:  # disjoint per-host slice (deterministic order)
+            wav_list = wav_list[worker_index::worker_count]
+            print(f"  worker {worker_index}/{worker_count}: "
+                  f"{len(wav_list)} wavs")
         if use_device:
             self._extract_mels_device(wav_list)
             return

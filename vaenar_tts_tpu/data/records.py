@@ -164,16 +164,23 @@ class RecordWriter:
         mel = np.load(os.path.join(self.data_dir, "mels", f"{fid}.npy"))
         return text, mel
 
-    def write(self, mode: str = "train") -> List[str]:
+    def write(self, mode: str = "train", worker_index: int = 0,
+              worker_count: int = 1) -> List[str]:
+        """Write this mode's shards; with worker_count > 1, this worker
+        writes only the train shards ``worker_index::worker_count`` (dev and
+        test, single-shard, fall to worker 0) — the multi-host half of the
+        reference's 8-shard layout (reference tf_record_utils.py:72-85)."""
         os.makedirs(self.save_dir, exist_ok=True)
         fids = self._parse_fids(mode)
         if mode == "train":
-            split_fids = [fids[i::self.train_split]
-                          for i in range(self.train_split)]
+            split_fids = list(enumerate(
+                fids[i::self.train_split] for i in range(self.train_split)))
+            if worker_count > 1:
+                split_fids = split_fids[worker_index::worker_count]
         else:
-            split_fids = [fids]
+            split_fids = [(0, fids)] if worker_index == 0 else []
         paths = []
-        for i, ids in enumerate(split_fids):
+        for i, ids in split_fids:
             path = os.path.join(self.save_dir, f"{mode}-{i}.vrs")
             w = RecordShardWriter(path, self.num_mels, self.mel_dtype)
             for fid in ids:
@@ -183,8 +190,10 @@ class RecordWriter:
             paths.append(path)
         return paths
 
-    def write_all(self) -> Dict[str, List[str]]:
-        return {mode: self.write(mode) for mode in ("train", "dev", "test")}
+    def write_all(self, worker_index: int = 0,
+                  worker_count: int = 1) -> Dict[str, List[str]]:
+        return {mode: self.write(mode, worker_index, worker_count)
+                for mode in ("train", "dev", "test")}
 
 
 def list_shards(save_dir: str, mode: str) -> List[str]:
