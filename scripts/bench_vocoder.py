@@ -1,0 +1,97 @@
+"""Host vocoder benchmark: reference-parity float64 GL vs fast float32 GL vs
+streaming chunked GL (time-to-first-audio).
+
+Run on an idle host (the GL paths are CPU-bound):
+
+    python scripts/bench_vocoder.py [--dur 8.0] [--utts 8]
+
+Prints a JSON block with per-utterance timings, the threaded batch
+throughput, and the streaming TTFA. The device GL (ops/griffin_lim.py) is
+benchmarked separately on direct-attached hardware (it faults the
+tunnel-attached chip; see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vaenar_tts_tpu.audio.dsp import AudioProcessor
+from vaenar_tts_tpu.audio.streaming import StreamingVocoder
+from vaenar_tts_tpu.configs import get_config
+
+
+def main() -> None:
+    ap_args = argparse.ArgumentParser()
+    ap_args.add_argument("--dur", type=float, default=8.0,
+                         help="seconds of audio per utterance")
+    ap_args.add_argument("--utts", type=int, default=8)
+    args = ap_args.parse_args()
+
+    cfg = get_config("ljspeech").audio
+    ap = AudioProcessor(cfg)
+    sr = cfg.sample_rate
+    t = np.arange(int(sr * args.dur)) / sr
+    y = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 990 * t)).astype(np.float32)
+    mel = ap.melspectrogram(ap.preemphasize(y)).T  # [frames, 80]
+    audio_secs = args.dur
+
+    def timed(fn, n=1):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n
+
+    t_slow = timed(lambda: ap.inv_mel_spectrogram(
+        mel.T, np.random.default_rng(0), fast=False))
+    t_fast = timed(lambda: ap.inv_mel_spectrogram(
+        mel.T, np.random.default_rng(0)))
+
+    sv = StreamingVocoder(ap)
+    t0 = time.perf_counter()
+    it = sv.stream(mel, np.random.default_rng(0))
+    next(it)
+    ttfa = time.perf_counter() - t0
+    for _ in it:
+        pass
+    t_stream_total = time.perf_counter() - t0
+
+    # threaded batch throughput (the export path,
+    # audio/export.py::synthesize_and_save_wavs)
+    def batch(fast):
+        with ThreadPoolExecutor(max_workers=min(8, args.utts)) as ex:
+            list(ex.map(
+                lambda i: ap.inv_mel_spectrogram(
+                    mel.T, np.random.default_rng(i), fast=fast),
+                range(args.utts)))
+
+    t_batch_slow = timed(lambda: batch(False))
+    t_batch_fast = timed(lambda: batch(True))
+
+    print(json.dumps({
+        "utterance_secs": audio_secs,
+        "mel_frames": int(mel.shape[0]),
+        "gl_iters": cfg.griffin_lim_iters,
+        "per_utt_float64_s": round(t_slow, 3),
+        "per_utt_fast_s": round(t_fast, 3),
+        "fast_speedup": round(t_slow / t_fast, 2),
+        "streaming_ttfa_s": round(ttfa, 3),
+        "streaming_total_s": round(t_stream_total, 3),
+        "ttfa_vs_full_fast": round(t_fast / ttfa, 2),
+        "batch_utts": args.utts,
+        "batch_float64_s": round(t_batch_slow, 3),
+        "batch_fast_s": round(t_batch_fast, 3),
+        "batch_fast_rtf": round(t_batch_fast / (args.utts * audio_secs), 5),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,44 @@ class TestPipeline:
         err = np.linalg.norm(mag - mag2[:, : mag.shape[1]]) / np.linalg.norm(mag)
         assert err < 0.25
 
+    def test_fast_griffin_lim_matches_reference_path(self, cfg):
+        """The float32 vectorized vocoder GL (fast_griffin_lim) must converge
+        as well as the reference-parity float64 path: same length, same seed,
+        spectral-convergence error within 2% relative of the slow path."""
+        ap = AudioProcessor(cfg)
+        t = np.arange(int(0.5 * cfg.sample_rate)) / cfg.sample_rate
+        y = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.2 * np.sin(2 * np.pi * 1310 * t))
+        mag = np.abs(ap._stft(y))
+
+        def sc_err(sig):
+            m2 = np.abs(ap._stft(np.asarray(sig, np.float64)))
+            return np.linalg.norm(mag - m2[:, : mag.shape[1]]) \
+                / np.linalg.norm(mag)
+
+        y_slow = ap.griffin_lim(mag, np.random.default_rng(4))
+        y_fast = ap.griffin_lim_fast(mag, np.random.default_rng(4))
+        assert y_fast.dtype == np.float32
+        assert len(y_fast) == len(y_slow)
+        assert sc_err(y_fast) <= sc_err(y_slow) * 1.02 + 1e-6
+
+    def test_inv_mel_spectrogram_fast_default(self, cfg):
+        """The vocoder entry point defaults to the fast GL and produces a
+        waveform equivalent in quality to the slow path."""
+        ap = AudioProcessor(cfg)
+        t = np.arange(int(0.4 * cfg.sample_rate)) / cfg.sample_rate
+        y = 0.5 * np.sin(2 * np.pi * 330 * t)
+        mel = ap.melspectrogram(y)
+        w_fast = ap.inv_mel_spectrogram(mel, np.random.default_rng(7))
+        w_slow = ap.inv_mel_spectrogram(mel, np.random.default_rng(7),
+                                        fast=False)
+        assert w_fast.shape == w_slow.shape
+        # both reconstructions carry the tone: dominant FFT bin within 1 bin
+        for w in (w_fast, w_slow):
+            spec = np.abs(np.fft.rfft(w))
+            f = np.argmax(spec) * cfg.sample_rate / len(w)
+            assert abs(f - 330) < 10
+
 
 def test_roundtrip_report_runs(cfg_module=None):
     """The mel->linear diagnostic (reference Audio.test, audio.py:48-72)

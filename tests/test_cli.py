@@ -86,6 +86,19 @@ class TestCLISurface:
         assert after["encoder"]["embd_dim"] == 32
         assert after == before
 
+    def test_stream_wavs_mode(self, workspace, capsys):
+        """--stream_wavs vocodes through the chunked streaming path and
+        reports time-to-first-audio."""
+        from vaenar_tts_tpu.cli import inference
+        out = str(workspace / "streamed")
+        inference.main(["--dataset", "ljspeech",
+                        "--data_dir", str(workspace / "feats"),
+                        "--model_dir", str(workspace / "ckpt"),
+                        "--test_dir", out, "--batch_size", "2",
+                        "--write_wavs", "--stream_wavs", "--host_vocoder"])
+        assert any(f.endswith(".wav") for f in os.listdir(out))
+        assert "time-to-first-audio" in capsys.readouterr().out
+
     def test_free_text_mode(self, workspace):
         from vaenar_tts_tpu.cli import inference
         lines = workspace / "lines.txt"

@@ -18,6 +18,7 @@ on-device mel frontend lives in ``vaenar_tts_tpu.ops.stft``.
 from __future__ import annotations
 
 import numpy as np
+from scipy import fft as sp_fft
 from scipy import signal as sp_signal
 from scipy.io import wavfile
 
@@ -83,6 +84,92 @@ def istft(stft_matrix: np.ndarray, hop_length: int, win_length: int,
     if length is not None:
         y = y[:length] if len(y) >= length else np.pad(y, (0, length - len(y)))
     return y
+
+
+def fast_griffin_lim(S: np.ndarray, n_fft: int, hop_length: int,
+                     win_length: int, iters: int, center: bool = True,
+                     rng: np.random.Generator | None = None) -> np.ndarray:
+    """Griffin-Lim phase reconstruction, optimized for the host vocoder loop.
+
+    Same algorithm and random-phase seeding order as
+    ``AudioProcessor.griffin_lim`` (reference audio/audio.py:95-102), with the
+    per-iteration cost cut down for the path where host vocoding dominates
+    end-to-end synthesis time:
+
+      * float32/complex64 throughout via scipy.fft (np.fft always promotes
+        to double; phase estimation needs no double),
+      * overlap-add vectorized over hop-phases (ceil(n_fft/hop) strided adds
+        per ISTFT instead of one Python loop iteration per frame),
+      * the NOLA window-sum normalization precomputed once — it is constant
+        across all ``iters`` iterations,
+      * phase extraction as D/|D| instead of exp(1j*angle(D)).
+
+    ``S`` is the magnitude spectrogram in librosa layout [1+n_fft//2,
+    n_frames]. Returns the float32 time signal with the same length semantics
+    as ``istft`` (center-trimmed).
+    """
+    rng = rng or np.random.default_rng()
+    # identical phase-init sampling order to the reference-parity path
+    angles = np.exp(2j * np.pi * rng.random(S.shape)).T.astype(np.complex64)
+    mag = np.ascontiguousarray(np.abs(S).T.astype(np.float32))
+    y, _ = gl_core(mag, angles, n_fft, hop_length, win_length, iters, center)
+    return y
+
+
+def gl_core(mag: np.ndarray, angles: np.ndarray, n_fft: int, hop_length: int,
+            win_length: int, iters: int, center: bool = True
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """The Griffin-Lim iteration kernel on frames-major float32 arrays.
+
+    ``mag``/``angles``: [n_frames, 1+n_fft//2] float32 / complex64. Returns
+    ``(signal, final_angles)`` so callers (the streaming vocoder,
+    audio/streaming.py) can propagate converged phases across chunks.
+    """
+    window = _pad_center(hann_window(win_length), n_fft).astype(np.float32)
+    n_frames = mag.shape[0]
+    expected_len = n_fft + hop_length * (n_frames - 1)
+
+    # one-time NOLA normalization (constant across iterations)
+    wsq = (window * window).astype(np.float32)
+    wsum = np.zeros(expected_len, np.float32)
+    for i in range(n_frames):
+        wsum[i * hop_length: i * hop_length + n_fft] += wsq
+    wsum_inv = np.where(wsum > np.finfo(np.float32).tiny,
+                        1.0 / np.maximum(wsum, np.finfo(np.float32).tiny),
+                        0.0).astype(np.float32)
+
+    k = -(-n_fft // hop_length)  # hop-phases per frame (8 at 2048/256)
+    pad_cols = k * hop_length - n_fft
+    trim = n_fft // 2 if center else 0
+
+    def ola(frames: np.ndarray) -> np.ndarray:
+        """Windowed overlap-add of irfft frames [n_frames, n_fft] -> signal."""
+        fw = frames * window
+        if pad_cols:
+            fw = np.pad(fw, ((0, 0), (0, pad_cols)))
+        fw = fw.reshape(n_frames, k, hop_length)
+        buf = np.zeros((n_frames + k, hop_length), np.float32)
+        for r in range(k):
+            buf[r: r + n_frames] += fw[:, r, :]
+        y = buf.reshape(-1)[:expected_len] * wsum_inv
+        return y[trim: expected_len - trim] if center else y
+
+    def frame_fft(y: np.ndarray) -> np.ndarray:
+        """Center-padded windowed rfft -> [n_frames, bins] (matches stft)."""
+        if center:
+            y = np.pad(y, n_fft // 2, mode="reflect")
+        frames = np.lib.stride_tricks.as_strided(
+            y, shape=(n_frames, n_fft),
+            strides=(y.strides[0] * hop_length, y.strides[0]))
+        return sp_fft.rfft(frames * window, n=n_fft, axis=1)
+
+    y = ola(sp_fft.irfft(mag * angles, n=n_fft, axis=1))
+    tiny = np.float32(1e-16)
+    for _ in range(iters):
+        D = frame_fft(y)
+        angles = D / np.maximum(np.abs(D), tiny)
+        y = ola(sp_fft.irfft(mag * angles, n=n_fft, axis=1))
+    return y, angles
 
 
 # ---------------------------------------------------------------------------
@@ -261,22 +348,36 @@ class AudioProcessor:
             y = self._istft(S_complex * angles)
         return y
 
+    def griffin_lim_fast(self, S: np.ndarray,
+                         rng: np.random.Generator | None = None) -> np.ndarray:
+        """float32 vectorized Griffin-Lim (see ``fast_griffin_lim``)."""
+        return fast_griffin_lim(S, self.cfg.n_fft, self.cfg.frame_shift_sample,
+                                self.cfg.frame_length_sample,
+                                self.cfg.griffin_lim_iters, self.cfg.center,
+                                rng)
+
     def inv_spectrogram(self, spectrogram: np.ndarray,
-                        rng: np.random.Generator | None = None) -> np.ndarray:
+                        rng: np.random.Generator | None = None,
+                        fast: bool = True) -> np.ndarray:
         S = self.db_to_amp(self.denormalize(spectrogram) + self.cfg.ref_level_db)
-        return self.griffin_lim(S ** self.cfg.power, rng)
+        gl = self.griffin_lim_fast if fast else self.griffin_lim
+        return gl(S ** self.cfg.power, rng)
 
     def inv_mel_spectrogram(self, mel_spectrogram: np.ndarray,
-                            rng: np.random.Generator | None = None) -> np.ndarray:
+                            rng: np.random.Generator | None = None,
+                            fast: bool = True) -> np.ndarray:
         # reference audio.py:81-84
         S = self.mel_to_linear(self.db_to_amp(
             self.denormalize(mel_spectrogram) + self.cfg.ref_level_db))
-        return self.griffin_lim(S ** self.cfg.power, rng)
+        gl = self.griffin_lim_fast if fast else self.griffin_lim
+        return gl(S ** self.cfg.power, rng)
 
     # -- preemphasis -----------------------------------------------------------
 
     def preemphasize(self, x: np.ndarray) -> np.ndarray:
         # reference audio.py:214-226
+        if self.cfg.preemphasize is None:
+            return x
         return sp_signal.lfilter([1, -self.cfg.preemphasize], [1], x)
 
     def inv_preemphasize(self, x: np.ndarray) -> np.ndarray:

@@ -103,6 +103,35 @@ class TestUtils:
             paths.append(path)
         return paths
 
+    def synthesize_and_save_wavs_streaming(self, tag, mel_batch: np.ndarray,
+                                           mel_lengths, ids, prefix: str = "",
+                                           seed: int = 0,
+                                           chunk_frames: int = 100):
+        """Streaming chunked vocoder (audio/streaming.py): audio is produced
+        incrementally per chunk instead of per utterance. Returns
+        ``(paths, ttfa_seconds)`` where ttfa is each utterance's
+        time-to-first-audio — the interactive-latency metric the
+        whole-utterance reference path (audio/utils.py:24-40) cannot bound."""
+        import time
+
+        from .streaming import StreamingVocoder
+        sv = StreamingVocoder(self.audio, chunk_frames=chunk_frames)
+        paths, ttfas = [], []
+        for i in range(len(mel_batch)):
+            mel = mel_batch[i][: int(mel_lengths[i])]
+            t0 = time.perf_counter()
+            pieces = []
+            for j, piece in enumerate(
+                    sv.stream(mel, np.random.default_rng(seed + i))):
+                if j == 0:
+                    ttfas.append(time.perf_counter() - t0)
+                pieces.append(piece)
+            name = f"{prefix}-{tag}-{_fid(ids[i])}.wav"
+            path = os.path.join(self.save_dir, name)
+            self.audio.save_wav(np.concatenate(pieces), path)
+            paths.append(path)
+        return paths, ttfas
+
     def synthesize_and_save_wavs_auto(self, tag, mel_batch: np.ndarray,
                                       mel_lengths, ids, prefix: str = "",
                                       seed: int = 0) -> List[str]:

@@ -117,14 +117,22 @@ def inference_test(args) -> None:
             tester.write_mels(epoch, mels[:batch.n_valid],
                               pred_lens[:batch.n_valid], ids, prefix="prior")
         if args.write_wavs:
-            if args.jax_vocoder:
-                synth = tester.synthesize_and_save_wavs_jax
-            elif args.host_vocoder:
-                synth = tester.synthesize_and_save_wavs
-            else:  # capability probe: device GL on direct-attached TPUs
-                synth = tester.synthesize_and_save_wavs_auto
-            synth(epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid], ids,
-                  prefix="prior")
+            if args.stream_wavs:
+                _, ttfas = tester.synthesize_and_save_wavs_streaming(
+                    epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
+                    ids, prefix="prior")
+                print(f"streaming vocoder: time-to-first-audio "
+                      f"mean {np.mean(ttfas):.3f}s max {np.max(ttfas):.3f}s "
+                      f"over {len(ttfas)} utterances")
+            else:
+                if args.jax_vocoder:
+                    synth = tester.synthesize_and_save_wavs_jax
+                elif args.host_vocoder:
+                    synth = tester.synthesize_and_save_wavs
+                else:  # capability probe: device GL on direct-attached TPUs
+                    synth = tester.synthesize_and_save_wavs_auto
+                synth(epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
+                      ids, prefix="prior")
         if args.draw_alignments:
             for k, a in ali.items():
                 if a is None:
@@ -204,6 +212,10 @@ def main(argv=None) -> None:
                              "kernel and fall back to host threads)")
     parser.add_argument("--host_vocoder", action="store_true", default=False,
                         help="force the threaded host NumPy Griffin-Lim")
+    parser.add_argument("--stream_wavs", action="store_true", default=False,
+                        help="vocode in streaming chunks (chunked Griffin-Lim "
+                             "with phase propagation) and report "
+                             "time-to-first-audio")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
