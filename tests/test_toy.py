@@ -110,3 +110,44 @@ class TestDiagonalityMetric:
         s = batch_diagonality(batch, [40, 40, 40], [8, 8, 8], n_valid=2)
         assert s["n"] == 2
         assert s["diagonality"] > 0.97
+
+
+class TestAlignmentProbe:
+    def test_probe_exposes_every_cross_attention_site(self):
+        """make_alignment_probe must surface alignments from the decoder, the
+        posterior, and every flow-coupling transform (the sowed
+        "intermediates"; models/attention.py CrossAttentionBlock)."""
+        import jax
+        import jax.numpy as jnp
+
+        from vaenar_tts_tpu.configs.hparams import tiny_test_config
+        from vaenar_tts_tpu.models import VAENAR
+        from vaenar_tts_tpu.training.steps import (init_model,
+                                                   make_alignment_probe)
+
+        hp = tiny_test_config()
+        model = VAENAR(hp)
+        B, T_TEXT, T_MEL = 2, 16, 60
+        params, bs = init_model(hp, model, 0, T_TEXT, T_MEL)
+        probe = make_alignment_probe(hp, model)
+        rng = np.random.default_rng(0)
+        texts = jnp.asarray(
+            rng.integers(1, hp.encoder.vocab_size, (B, T_TEXT)), jnp.int32)
+        mels = jnp.asarray(rng.standard_normal((B, T_MEL, hp.audio.num_mels)),
+                           jnp.float32)
+        t_lens = jnp.asarray([T_TEXT, T_TEXT - 4], jnp.int32)
+        m_lens = jnp.asarray([T_MEL, T_MEL - 10], jnp.int32)
+        out_mels, sites = probe(params, bs, texts, mels, t_lens, m_lens,
+                                jax.random.key(0), reduction_factor=2,
+                                max_mel_length=T_MEL)
+        keys = set(sites)
+        assert any(k.startswith("infer/decoder/") for k in keys), keys
+        assert any(k.startswith("post/decoder/") for k in keys), keys
+        assert any(k.startswith("post/posterior/") for k in keys), keys
+        n_couplings = sum(1 for k in keys if "infer/prior/" in k)
+        assert n_couplings == hp.prior.n_blk * hp.prior.n_transformer_blk
+        for k, a in sites.items():
+            a = np.asarray(a)
+            assert a.ndim == 4, (k, a.shape)  # [B, H, Tq, Tk]
+            assert a.shape[0] == B and a.shape[3] == T_TEXT, (k, a.shape)
+            assert np.isfinite(a).all(), k

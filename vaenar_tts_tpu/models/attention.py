@@ -219,6 +219,11 @@ class CrossAttentionBlock(nn.Module):
             self.attention_temperature, dtype=self.dtype,
             use_pallas=self.use_pallas, name="cross_attention")(
             h, memory, query_lengths, memory_lengths, causal=False)
+        if cross_ali is not None:
+            # captured only when callers make "intermediates" mutable (e.g.
+            # the alignment probe, scripts/alignment_proof.py); a no-op in
+            # normal train/infer applies
+            self.sow("intermediates", "cross_alignments", cross_ali)
         contexts2 = jnp.concatenate([h, cross_att], axis=-1)
         h2 = nn.Dense(self.attention_dim, dtype=self.dtype, name="att_proj2")(contexts2)
         h2 = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype, name="layer_norm2")(h2 + h)

@@ -163,6 +163,55 @@ def make_test_step(hp: HParams, model: VAENAR) -> Callable:
     return test_step
 
 
+def make_alignment_probe(hp: HParams, model: VAENAR) -> Callable:
+    """Diagnostic step exposing EVERY cross-attention site's alignments via
+    the sowed "intermediates" collection (models/attention.py
+    CrossAttentionBlock): the decoder's, the posterior's, and the flow
+    couplings'. Used by scripts/alignment_proof.py to measure where the
+    text<->time alignment is learned — the quantitative version of the
+    reference's eyeballed alignment plots (reference train.py:309-325).
+
+    Returns fn(params, batch_stats, texts, mels, t_lens, m_lens, rng, ...)
+    -> (mels, {site_path: alignments}) where sites from the synthesis pass
+    (prior sample + decode) are prefixed "infer/" and sites from the
+    training-mode posterior pass are prefixed "post/".
+    """
+
+    @partial(jax.jit, static_argnames=("reduction_factor", "max_mel_length"))
+    def probe(params, batch_stats, texts, mels, t_lens, m_lens, rng,
+              reduction_factor: int = 2, max_mel_length: int = 1200,
+              temperature: float = 0.0):
+        (out_mels, _), inter_inf = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, m_lens, t_lens, reduction_factor=reduction_factor,
+            max_mel_length=max_mel_length, temperature=temperature,
+            method=VAENAR.infer, rngs={"sample": rng},
+            mutable=["intermediates"])
+        _, inter_post = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            texts, mels, m_lens, t_lens, reduction_factor=reduction_factor,
+            train=False, reduce_loss=True, rngs={"sample": rng},
+            mutable=["intermediates"])
+        sites = {}
+        for prefix, inter in (("infer", inter_inf), ("post", inter_post)):
+            for path, vals in _flatten_sown(inter["intermediates"]):
+                sites[f"{prefix}/{path}"] = vals
+        return out_mels, sites
+
+    return probe
+
+
+def _flatten_sown(tree, path=()):
+    """Yield ('/'-joined module path, array) for sowed cross_alignments."""
+    if isinstance(tree, (dict, FrozenDict)):
+        for k, v in tree.items():
+            if k == "cross_alignments":
+                # sow appends a tuple per call; one call per apply here
+                yield "/".join(path), v[-1]
+            else:
+                yield from _flatten_sown(v, path + (k,))
+
+
 def make_inference_step(hp: HParams, model: VAENAR) -> Callable:
     """CLI-style inference with predicted lengths
     (reference inference.py:125-143)."""
