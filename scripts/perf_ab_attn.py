@@ -1,7 +1,8 @@
 """Attention-kernel crossover sweep: fused Pallas vs XLA at matched shapes.
 
 Times the raw masked-attention op (forward and forward+backward) across
-sequence lengths at the flagship head geometry (H=4, D=64), interleaving
+sequence lengths at a configurable head geometry (default the flagship H=4,
+D=64; --heads/--head_dim sweep wider shapes), interleaving
 variants to cancel tunnel drift. The crossover feeds
 ops/flash_attention.PALLAS_MIN_SCORE_ELEMENTS (the "auto" policy) and the
 README "Measured" table. Run on the real chip.
@@ -23,9 +24,19 @@ import numpy as np
 from vaenar_tts_tpu.models.attention import attention_mask, masked_attention_xla
 from vaenar_tts_tpu.ops.flash_attention import masked_flash_attention
 
-B, H, D = 16, 4, 64
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=16)
+_ap.add_argument("--heads", type=int, default=4)
+_ap.add_argument("--head_dim", type=int, default=64)
+_ap.add_argument("--iters", type=int, default=30)
+_ap.add_argument("--seqs", type=int, nargs="*",
+                 default=[128, 256, 512, 1024, 2048, 4096])
+_args = _ap.parse_args()
+B, H, D = _args.batch, _args.heads, _args.head_dim
 SCALE = 1.0 / np.sqrt(D)
-ITERS = 30
+ITERS = _args.iters
 
 
 def xla_op(q, k, v, ql, ml, causal):
@@ -59,7 +70,7 @@ def main():
     print(f"B={B} H={H} D={D}, dtype=bfloat16, causal self-attention shapes")
     print(f"{'T':>6} {'mode':>8} {'xla ms':>9} {'pallas ms':>10} {'speedup':>8}")
     rows = []
-    for T in (128, 256, 512, 1024, 2048, 4096):
+    for T in _args.seqs:
         q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
@@ -83,7 +94,7 @@ def main():
     import json
     out = [dict(T=t, mode=m, xla_ms=x, pallas_ms=p, speedup=s)
            for t, m, x, p, s in rows]
-    path = "/tmp/attn_ab.json"
+    path = f"/tmp/attn_ab_h{H}d{D}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")
