@@ -66,8 +66,11 @@ def main() -> None:
 
     # threaded batch throughput (the export path,
     # audio/export.py::synthesize_and_save_wavs)
+    import os
+    workers = min(8, os.cpu_count() or 1, args.utts)
+
     def batch(fast):
-        with ThreadPoolExecutor(max_workers=min(8, args.utts)) as ex:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             list(ex.map(
                 lambda i: ap.inv_mel_spectrogram(
                     mel.T, np.random.default_rng(i), fast=fast),
@@ -87,6 +90,7 @@ def main() -> None:
         "streaming_total_s": round(t_stream_total, 3),
         "ttfa_vs_full_fast": round(t_fast / ttfa, 2),
         "batch_utts": args.utts,
+        "batch_workers": workers,
         "batch_float64_s": round(t_batch_slow, 3),
         "batch_fast_s": round(t_batch_fast, 3),
         "batch_fast_rtf": round(t_batch_fast / (args.utts * audio_secs), 5),

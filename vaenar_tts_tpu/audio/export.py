@@ -78,7 +78,10 @@ class TestUtils:
             self.audio.save_wav(np.asarray(wav), path)
             return path
 
-        with ThreadPoolExecutor(max_workers=min(8, len(mel_batch) or 1)) as ex:
+        # cap at the core count: on a 1-core host extra threads only add
+        # contention (GL is CPU-bound; numpy/scipy release the GIL in FFTs)
+        workers = min(8, os.cpu_count() or 1, len(mel_batch) or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             paths = list(ex.map(synth, range(len(mel_batch))))
         return paths
 
@@ -96,6 +99,33 @@ class TestUtils:
         hop = self.hps.audio.frame_shift_sample
         for i in range(len(mel_batch)):
             n = int(mel_lengths[i]) * hop
+            wav = self.audio.inv_preemphasize(wavs[i][:n])
+            name = f"{prefix}-{tag}-{_fid(ids[i])}.wav"
+            path = os.path.join(self.save_dir, name)
+            self.audio.save_wav(np.asarray(wav), path)
+            paths.append(path)
+        return paths
+
+    def synthesize_and_save_wavs_neural(self, tag, mel_batch: np.ndarray,
+                                        mel_lengths, ids, vocoder_dir: str,
+                                        prefix: str = "") -> List[str]:
+        """Neural ISTFT-head vocoder (models/vocoder.py): the whole batch is
+        vocoded in ONE device pass (no iterative phase recovery); host work
+        is the inverse-preemphasis IIR and file writes."""
+        import jax.numpy as jnp
+
+        from ..models.vocoder import load_vocoder, vocode
+        if getattr(self, "_nv", None) is None or self._nv_dir != vocoder_dir:
+            self._nv = load_vocoder(vocoder_dir)
+            self._nv_dir = vocoder_dir
+        model, params = self._nv
+        wavs = np.asarray(
+            vocode(model, params, jnp.asarray(mel_batch, jnp.float32)),
+            np.float32)
+        hop = self.hps.audio.frame_shift_sample
+        paths = []
+        for i in range(len(mel_batch)):
+            n = max(int(mel_lengths[i]) - 1, 1) * hop
             wav = self.audio.inv_preemphasize(wavs[i][:n])
             name = f"{prefix}-{tag}-{_fid(ids[i])}.wav"
             path = os.path.join(self.save_dir, name)

@@ -117,7 +117,11 @@ def inference_test(args) -> None:
             tester.write_mels(epoch, mels[:batch.n_valid],
                               pred_lens[:batch.n_valid], ids, prefix="prior")
         if args.write_wavs:
-            if args.stream_wavs:
+            if args.neural_vocoder:
+                tester.synthesize_and_save_wavs_neural(
+                    epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
+                    ids, args.neural_vocoder, prefix="prior")
+            elif args.stream_wavs:
                 _, ttfas = tester.synthesize_and_save_wavs_streaming(
                     epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
                     ids, prefix="prior")
@@ -216,6 +220,11 @@ def main(argv=None) -> None:
                         help="vocode in streaming chunks (chunked Griffin-Lim "
                              "with phase propagation) and report "
                              "time-to-first-audio")
+    parser.add_argument("--neural_vocoder", type=str, default=None,
+                        help="directory of a trained neural ISTFT-head "
+                             "vocoder (cli.train_vocoder); vocodes the whole "
+                             "batch in one device pass instead of "
+                             "Griffin-Lim")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
