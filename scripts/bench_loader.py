@@ -1,4 +1,4 @@
-"""Host input-pipeline throughput: can the loader feed a 6.15 ms/step chip?
+"""Host input-pipeline throughput: can the loader feed a 29.5 ms/step chip?
 Builds an LJ-scale synthetic record set and measures batch assembly rates
 for the native C++ packer vs the NumPy fallback."""
 import os, sys, time, tempfile
@@ -39,4 +39,4 @@ for name, native in [("native C++", True), ("numpy fallback", False)]:
     dt = time.perf_counter() - t0
     print(f"{name:15s}: {nb/dt:7.1f} batches/s, {utts/dt:9.0f} utt/s, "
           f"{nb and dt/nb*1e3:.2f} ms/batch")
-print("chip demand at 6.15 ms/step (batch 32): 162.7 batches/s")
+print("chip demand at 29.5 ms/step (batch 32): 33.9 batches/s")

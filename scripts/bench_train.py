@@ -1,5 +1,11 @@
 """Training-throughput benchmark: LJSpeech-config train steps/sec on the
-attached accelerator (batch 32, text 128, mel 720, r=2)."""
+attached accelerator (batch 32, text 128, mel 720, r=2).
+
+Pull-synced protocol (see bench.py docstring): the tunnel's
+block_until_ready returns before execution completes, so each timed region
+ends with a float() pull of a loss scalar — the steps chain through donated
+state, so pulling the last step's metric forces the whole chain — and the
+reported time is the marginal between a short and a long run."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -34,12 +40,21 @@ jax.block_until_ready(m)
 print(f"compile+first step: {time.perf_counter()-t0:.1f}s,"
       f" losses {dict((kk, float(v)) for kk, v in m.items())}")
 
-N = 30
-t0 = time.perf_counter()
-for i in range(N):
-    p, b, o, m = step(p, b, o, texts, mels, tl, ml, jnp.float32(1e-5),
-                      jax.random.fold_in(k, i), reduction_factor=R)
-jax.block_until_ready(m)
-dt = time.perf_counter() - t0
-print(f"train steps/sec: {N/dt:.3f}  ({dt/N*1e3:.1f} ms/step, batch {B})")
-print(f"utterances/sec: {N*B/dt:.1f}")
+def run(n):
+    global p, b, o, m
+    t0 = time.perf_counter()
+    for i in range(n):
+        p, b, o, m = step(p, b, o, texts, mels, tl, ml, jnp.float32(1e-5),
+                          jax.random.fold_in(k, i), reduction_factor=R)
+    float(m["total"])  # pull: forces the whole chained-state execution
+    return time.perf_counter() - t0
+
+
+run(2)  # warm
+N_LO, N_HI = 4, 30
+t_lo = min(run(N_LO) for _ in range(3))
+t_hi = min(run(N_HI) for _ in range(3))
+dt = (t_hi - t_lo) / (N_HI - N_LO)
+print(f"train steps/sec: {1/dt:.3f}  ({dt*1e3:.1f} ms/step, batch {B}, "
+      f"pull-synced marginal)")
+print(f"utterances/sec: {B/dt:.1f}")

@@ -1,5 +1,11 @@
 """A/B harness: full-model synthesis latency across attention-kernel and
-dtype variants, interleaved to cancel tunnel drift. Run on the real chip."""
+dtype variants, interleaved to cancel tunnel drift. Run on the real chip.
+
+WARNING: per-call block_until_ready timings — on the tunnel-attached TPU
+these measure dispatch, not device compute (block returns before execution
+completes), so deltas here understate real differences. For honest numbers
+use the chained+pull marginal protocol (scripts/perf_ab_attn.py --sync pull,
+bench.py)."""
 import dataclasses, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax

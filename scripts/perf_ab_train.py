@@ -1,4 +1,10 @@
-"""Interleaved A/B: train-step latency, Pallas vs XLA attention."""
+"""Interleaved A/B: train-step latency, Pallas vs XLA attention.
+
+WARNING: per-call block_until_ready timings — on the tunnel-attached TPU
+these measure dispatch, not device compute (block returns before execution
+completes), so deltas here understate real differences. For honest numbers
+use the chained+pull marginal protocol (scripts/perf_ab_attn.py --sync pull,
+bench.py)."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax

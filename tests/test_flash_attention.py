@@ -119,9 +119,10 @@ def test_fully_masked_rows_gradient_parity():
 
 def test_auto_selection_policy():
     from vaenar_tts_tpu.ops.flash_attention import pallas_profitable
-    assert pallas_profitable(1024, 1024)   # measured crossover (README table)
+    assert pallas_profitable(1024, 1024)   # measured 2.43x fwd (README table)
     assert pallas_profitable(2048, 2048)
-    assert not pallas_profitable(512, 512)  # ties XLA below the crossover
+    assert pallas_profitable(768, 768)     # measured 2.04x fwd
+    assert not pallas_profitable(512, 512)  # measured: XLA wins below 640^2
     assert not pallas_profitable(60, 32)   # shipped short shapes stay on XLA
     assert not pallas_profitable(240, 64)
 

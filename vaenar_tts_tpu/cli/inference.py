@@ -103,13 +103,15 @@ def inference_test(args) -> None:
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
             max_mel_length=max_mel, temperature=args.temperature)
-        jax.block_until_ready(mels)
-        # RTF times device synthesis only (the reference also excludes the
-        # host pull: its .numpy() happens inside write_mels,
+        # sync on the [B]-int32 lengths pull: block_until_ready returns
+        # before execution completes on tunnel-attached devices, and a
+        # same-program output pull is the cheapest true barrier. RTF still
+        # times device synthesis only (the reference also excludes the big
+        # mel pull: its .numpy() happens inside write_mels,
         # inference.py:152-157)
+        pred_lens = np.asarray(pred_lens)
         time_consumed += time.time() - t0
         mels = np.asarray(mels, np.float32)
-        pred_lens = np.asarray(pred_lens)
         durations += (pred_lens[:batch.n_valid].sum()
                       * hp.audio.frame_shift_sample / hp.audio.sample_rate)
         ids = batch.fids[:batch.n_valid]

@@ -48,10 +48,11 @@ class TrainConfig:
     # use_pallas_attention: fused VMEM-resident attention kernel (forward AND
     # flash backward, ops/flash_attention.py). False/"off", True/"on", or
     # "auto": at the shipped short shapes (heads=4, head_dim=64, T<=512) XLA
-    # wins (narrow head_dim half-fills the MXU lanes and XLA fuses the
-    # surrounding projections), so "auto" selects the fused kernel only past
-    # the measured long-sequence crossover (pallas_profitable); shapes are
-    # static, so selection is trace-time-only.
+    # wins (kernel launch overhead dominates and XLA fuses the surrounding
+    # projections); from T=768 the flash kernel wins (2x fwd at 768 growing
+    # to 6x at 4096, pull-synced measurements in scripts/perf_ab_attn.py),
+    # so "auto" selects it past the measured crossover (pallas_profitable);
+    # shapes are static, so selection is trace-time-only.
     use_pallas_attention: Any = "auto"
     compute_dtype: str = "bfloat16"  # transformer matmul dtype; flow stays fp32
     checkpoint_max_to_keep: int = 20

@@ -40,11 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -2.0 ** 32 + 1.0
 
 # Measured on-chip crossover (scripts/perf_ab_attn.py on v5e, B=16 H=4 D=64
-# bf16 causal: T=512 1.00x, T=1024 1.04x bwd, T=2048 1.08x bwd, T=4096 1.75x
-# fwd / 1.47x fwd+bwd; README "Measured" table). Below this many score-matrix
-# elements per (batch, head), XLA's fused attention ties or wins at the
-# shipped head geometry, so "auto" stays on XLA there.
-PALLAS_MIN_SCORE_ELEMENTS = 1024 * 1024
+# bf16 causal, pull-synced marginal protocol — see the script docstring for
+# why per-call block_until_ready timings overstated XLA at long T): XLA wins
+# T<=512 (fwd 0.055 vs 0.096 ms), the flash kernel wins from T=768
+# (fwd 2.04x, fwd+bwd 1.39x) through T=1024 (2.43x/1.71x), T=2048
+# (2.86x/1.69x) and T=4096 (6.14x/2.92x; at H=8 D=128 the XLA backward there
+# does not even compile). Threshold = 640^2 score elements, the midpoint of
+# the measured 512..768 bracket.
+PALLAS_MIN_SCORE_ELEMENTS = 640 * 640
 
 
 def pallas_profitable(tq: int, tk: int) -> bool:
