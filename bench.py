@@ -138,9 +138,14 @@ def main() -> None:
     @jax.jit
     def chained_synthesis(params, batch_stats, texts, t_lens, n):
         def body(i, acc):
+            # acc feeds the fold_in step so iteration i+1's program consumes
+            # iteration i's output — a true dependency chain the compiler
+            # cannot overlap or hoist (the isnan branch is never taken but
+            # is undecidable at compile time)
+            step = jnp.where(jnp.isnan(acc), jnp.int32(0), i).astype(jnp.int32)
             mels, _, _ = inference_step(
                 params, batch_stats, texts, t_lens,
-                jax.random.fold_in(key, i),
+                jax.random.fold_in(key, step),
                 reduction_factor=R, max_mel_length=MEL_MAX)
             return acc + jnp.mean(mels).astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

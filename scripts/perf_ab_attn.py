@@ -112,8 +112,9 @@ def bench_block(fn, q, k, v, ql, grad: bool):
 def main():
     rng = np.random.default_rng(0)
     bench = bench_pull if _args.sync == "pull" else bench_block
-    print(f"B={B} H={H} D={D}, bf16, causal, sync={_args.sync} "
-          f"(marginal over chained calls)" if _args.sync == "pull" else "")
+    suffix = (" (marginal over chained calls)" if _args.sync == "pull"
+              else " (per-call block timing)")
+    print(f"B={B} H={H} D={D}, bf16, causal, sync={_args.sync}{suffix}")
     print(f"{'T':>6} {'mode':>8} {'xla ms':>9} {'pallas ms':>10} {'speedup':>8}")
     rows = []
     for T in _args.seqs:

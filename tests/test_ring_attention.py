@@ -69,3 +69,16 @@ def test_gradients_flow(mesh):
     g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ring, g_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_missing_batch_axis_falls_back_to_replication(mesh):
+    """A mesh WITHOUT the default 'data' batch axis must degrade to
+    batch-replicated ring attention, not raise KeyError (round-2 review
+    fix: user-supplied SP-only meshes)."""
+    q, k, v, lengths = _inputs()
+    scale = 1.0 / np.sqrt(D)
+    ring = ring_self_attention(q, k, v, lengths, mesh, scale=scale,
+                               causal=True, axis="sp", batch_axis="data")
+    mask = attention_mask(lengths, lengths, B, T, T, True)
+    full, _ = masked_attention_xla(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(full), atol=2e-5)

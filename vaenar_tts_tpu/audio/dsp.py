@@ -116,6 +116,40 @@ def fast_griffin_lim(S: np.ndarray, n_fft: int, hop_length: int,
     return y
 
 
+def nola_inverse(window: np.ndarray, hop_length: int,
+                 n_frames: int) -> np.ndarray:
+    """1 / sum-of-squared-windows normalization for overlap-add synthesis
+    ([expected_len] float32; zeros where NOLA fails). Constant for a fixed
+    (window, hop, n_frames) — compute once, reuse across GL iterations."""
+    n_fft = len(window)
+    expected_len = n_fft + hop_length * (n_frames - 1)
+    wsq = (window * window).astype(np.float32)
+    wsum = np.zeros(expected_len, np.float32)
+    for i in range(n_frames):
+        wsum[i * hop_length: i * hop_length + n_fft] += wsq
+    tiny = np.finfo(np.float32).tiny
+    return np.where(wsum > tiny, 1.0 / np.maximum(wsum, tiny),
+                    0.0).astype(np.float32)
+
+
+def hop_phase_overlap_add(fw: np.ndarray, hop_length: int) -> np.ndarray:
+    """Overlap-add of WINDOWED frames [..., F, n_fft] ->
+    [..., n_fft + hop*(F-1)] via ceil(n_fft/hop) strided adds instead of a
+    per-frame Python loop. Shared by the fast Griffin-Lim (gl_core) and the
+    neural vocoder's host ISTFT (models/vocoder.istft_ri_host)."""
+    *lead, F, n_fft = fw.shape
+    k = -(-n_fft // hop_length)  # hop-phases per frame (8 at 2048/256)
+    pad_cols = k * hop_length - n_fft
+    if pad_cols:
+        fw = np.pad(fw, [(0, 0)] * len(lead) + [(0, 0), (0, pad_cols)])
+    fw = fw.reshape(*lead, F, k, hop_length)
+    buf = np.zeros((*lead, F + k, hop_length), np.float32)
+    for r in range(k):
+        buf[..., r: r + F, :] += fw[..., :, r, :]
+    total = n_fft + hop_length * (F - 1)
+    return buf.reshape(*lead, (F + k) * hop_length)[..., :total]
+
+
 def gl_core(mag: np.ndarray, angles: np.ndarray, n_fft: int, hop_length: int,
             win_length: int, iters: int, center: bool = True
             ) -> tuple[np.ndarray, np.ndarray]:
@@ -128,30 +162,12 @@ def gl_core(mag: np.ndarray, angles: np.ndarray, n_fft: int, hop_length: int,
     window = _pad_center(hann_window(win_length), n_fft).astype(np.float32)
     n_frames = mag.shape[0]
     expected_len = n_fft + hop_length * (n_frames - 1)
-
-    # one-time NOLA normalization (constant across iterations)
-    wsq = (window * window).astype(np.float32)
-    wsum = np.zeros(expected_len, np.float32)
-    for i in range(n_frames):
-        wsum[i * hop_length: i * hop_length + n_fft] += wsq
-    wsum_inv = np.where(wsum > np.finfo(np.float32).tiny,
-                        1.0 / np.maximum(wsum, np.finfo(np.float32).tiny),
-                        0.0).astype(np.float32)
-
-    k = -(-n_fft // hop_length)  # hop-phases per frame (8 at 2048/256)
-    pad_cols = k * hop_length - n_fft
+    wsum_inv = nola_inverse(window, hop_length, n_frames)
     trim = n_fft // 2 if center else 0
 
     def ola(frames: np.ndarray) -> np.ndarray:
         """Windowed overlap-add of irfft frames [n_frames, n_fft] -> signal."""
-        fw = frames * window
-        if pad_cols:
-            fw = np.pad(fw, ((0, 0), (0, pad_cols)))
-        fw = fw.reshape(n_frames, k, hop_length)
-        buf = np.zeros((n_frames + k, hop_length), np.float32)
-        for r in range(k):
-            buf[r: r + n_frames] += fw[:, r, :]
-        y = buf.reshape(-1)[:expected_len] * wsum_inv
+        y = hop_phase_overlap_add(frames * window, hop_length) * wsum_inv
         return y[trim: expected_len - trim] if center else y
 
     def frame_fft(y: np.ndarray) -> np.ndarray:

@@ -136,35 +136,19 @@ def istft_ri_host(spec_ri: np.ndarray, audio: AudioConfig) -> np.ndarray:
     audio/dsp.gl_core — one ISTFT per batch, not iterative like GL."""
     from scipy import fft as sp_fft
 
-    from ..audio.dsp import _pad_center, hann_window
+    from ..audio.dsp import (_pad_center, hann_window, hop_phase_overlap_add,
+                             nola_inverse)
     n_fft, hop = audio.n_fft, audio.frame_shift_sample
     n_bins = 1 + n_fft // 2
     spec_ri = np.asarray(spec_ri, np.float32)
-    B, _, F = spec_ri.shape
+    _, _, F = spec_ri.shape
     S = (spec_ri[:, :n_bins] + 1j * spec_ri[:, n_bins:]).astype(np.complex64)
     frames = sp_fft.irfft(S.transpose(0, 2, 1), n=n_fft, axis=2)  # [B,F,n_fft]
 
     window = _pad_center(hann_window(audio.frame_length_sample),
                          n_fft).astype(np.float32)
-    expected_len = n_fft + hop * (F - 1)
-    wsq = window * window
-    wsum = np.zeros(expected_len, np.float32)
-    for i in range(F):
-        wsum[i * hop: i * hop + n_fft] += wsq
-    wsum_inv = np.where(wsum > np.finfo(np.float32).tiny,
-                        1.0 / np.maximum(wsum, np.finfo(np.float32).tiny),
-                        0.0).astype(np.float32)
-
-    k = -(-n_fft // hop)
-    pad_cols = k * hop - n_fft
-    fw = frames * window
-    if pad_cols:
-        fw = np.pad(fw, ((0, 0), (0, 0), (0, pad_cols)))
-    fw = fw.reshape(B, F, k, hop)
-    buf = np.zeros((B, F + k, hop), np.float32)
-    for r in range(k):
-        buf[:, r: r + F] += fw[:, :, r, :]
-    y = buf.reshape(B, -1)[:, :expected_len] * wsum_inv
+    y = hop_phase_overlap_add(frames * window, hop) \
+        * nola_inverse(window, hop, F)
     return y[:, n_fft // 2: n_fft // 2 + hop * (F - 1)]
 
 

@@ -85,6 +85,10 @@ class DistContext:
         self.process_count = jax.process_count()
         self._rep = NamedSharding(self.mesh, P())
         self._data = NamedSharding(self.mesh, P("data"))
+        # one reshard program per SHAPE, not per fetch() call: a fresh
+        # jax.jit(lambda ...) each call would never hit the jit cache and
+        # recompile over the tunnel every test interval
+        self._fetch = jax.jit(lambda a: a, out_shardings=self._rep)
 
     @property
     def is_main(self) -> bool:
@@ -116,9 +120,8 @@ class DistContext:
 
     def fetch(self, x: jax.Array) -> np.ndarray:
         """Data-sharded global array -> full host copy (reshard to
-        replicated via a jitted identity, then pull)."""
-        out = jax.jit(lambda a: a, out_shardings=self._rep)(x)
-        return np.asarray(out)
+        replicated via a cached jitted identity, then pull)."""
+        return np.asarray(self._fetch(x))
 
     # -- batches ---------------------------------------------------------------
 

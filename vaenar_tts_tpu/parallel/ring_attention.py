@@ -93,9 +93,9 @@ def ring_self_attention(q, k, v, lengths, mesh: Mesh, *, scale: float = 1.0,
     n = mesh.shape[axis]
     assert q.shape[2] % n == 0, (q.shape, n)
     ba = batch_axis
-    if ba is not None and (mesh.shape[ba] <= 1
+    if ba is not None and (ba not in mesh.shape or mesh.shape[ba] <= 1
                            or q.shape[0] % mesh.shape[ba] != 0):
-        ba = None
+        ba = None  # unusable/absent batch axis: replicate batch instead
     fn = functools.partial(_local_ring_attention, scale=scale, causal=causal,
                            axis=axis)
     qkv_spec = P(ba, None, axis, None)

@@ -71,6 +71,17 @@ def make_loaders(hp: HParams, data_dir: str, dist=None):
             mel_bucket=mel_b, text_bucket=text_b, shuffle=False,
             seed=hp.train.random_seed,
             shard_index=dist.process_index, shard_count=pc)
+        # fail at startup ON EVERY PROCESS if some process would own zero dev
+        # batches — the condition is computed from globally identical values
+        # (total dev size, process count), so all processes raise together
+        # instead of one dying mid-epoch while peers hang in the dev_step
+        # collective
+        n_dev_groups = -(-dev.num_utterances // local_bs)
+        if n_dev_groups < pc:
+            raise ValueError(
+                f"dev set too small for this fleet: {n_dev_groups} dev "
+                f"batch(es) of {local_bs} < {pc} processes; shrink the "
+                f"process count or grow the dev set")
         dev.fixed_text_max = pad_to_multiple(dev.max_text_len, text_b)
         dev.fixed_mel_max = pad_to_multiple(dev.max_mel_len, mel_b)
         # test loader is NOT sharded: every process reads the same batch and
@@ -328,10 +339,9 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                     n_valid = batch.n_valid
                 except StopIteration:
                     pass  # keep the previous batch as a masked dummy
-                if batch is None:  # this process owns zero dev batches
-                    raise RuntimeError(
-                        "dev loader empty on a process; shrink process count "
-                        "or grow the dev set")
+                # make_loaders guarantees every process owns >=1 dev batch
+                # (synced startup check), so `batch` is set after step 0
+                assert batch is not None
                 rng, sub = jax.random.split(rng)
                 vmask = (np.arange(batch.texts.shape[0]) < n_valid
                          ).astype(np.float32)
