@@ -36,8 +36,15 @@ def fmt(ca, secs):
           f"intensity: {fl/max(by,1):.0f} flop/B")
     print(f"  at measured {secs*1e3:.1f} ms -> {fl/secs/1e12:.1f} TFLOP/s, "
           f"{by/secs/1e9:.0f} GB/s")
+import argparse
+_a = argparse.ArgumentParser()
+_a.add_argument("--train_ms", type=float, default=29.5,
+                help="measured pull-synced train step ms (README table)")
+_a.add_argument("--syn_ms", type=float, default=3.7,
+                help="measured pull-synced synthesis step ms")
+_ar = _a.parse_args()
 print("train step (batch 32, mel 720, r=2):")
-fmt(ca, 0.00493)
+fmt(ca, _ar.train_ms / 1e3)
 
 test_step = make_test_step(hp, model)
 B2 = 16
@@ -46,4 +53,4 @@ lowered = test_step.lower(params, bs, texts2, tl2, ml2, k,
                           reduction_factor=R, max_mel_length=TM)
 ca2 = lowered.compile().cost_analysis()
 print("synthesis step (batch 16, mel 720, r=2):")
-fmt(ca2, 0.00096)
+fmt(ca2, _ar.syn_ms / 1e3)
