@@ -18,7 +18,11 @@ from vaenar_tts_tpu.models import VAENAR
 from vaenar_tts_tpu.training.steps import (init_model, make_optimizer,
                                            make_train_step)
 
-B, TT, TM, R = 32, 128, 720, 2
+import argparse
+_a = argparse.ArgumentParser()
+_a.add_argument("--batch", type=int, default=32)
+_ar = _a.parse_args()
+B, TT, TM, R = _ar.batch, 128, 720, 2
 hp = get_config("ljspeech")
 model = VAENAR(hp)
 params, bs = init_model(hp, model, 0, TT, TM)

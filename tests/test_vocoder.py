@@ -172,6 +172,48 @@ class TestTraining:
                                 log_every=10, save_every=100)
 
 
+class TestBF16:
+    def test_bf16_forward_close_to_fp32_and_trains(self, audio, cfg):
+        """The on-chip dtype (bf16 conv stack, fp32 heads) must track the
+        fp32 forward closely and optimize: mirrors the acoustic model's bf16
+        CI contract (tests/test_round2_fixes.py)."""
+        import dataclasses as dc
+
+        from vaenar_tts_tpu.training.vocoder import make_vocoder_train_step
+        import optax
+
+        y = _tone(audio, dur=0.8)
+        sampler = PairSampler([y], audio, cfg.segment_frames, seed=0)
+        mels, wavs = sampler.sample(cfg.batch_size)
+        mels_j, wavs_j = jnp.asarray(mels), jnp.asarray(wavs)
+
+        out = {}
+        for dt in ("float32", "bfloat16"):
+            c = dc.replace(cfg, compute_dtype=dt)
+            model = MelVocoder(c, audio)
+            params = model.init(jax.random.key(0), mels_j)["params"]
+            spec = model.apply({"params": params}, mels_j)
+            out[dt] = {"spec": np.asarray(spec, np.float32)}
+            opt = optax.adam(c.learning_rate)
+            step = make_vocoder_train_step(c, model, opt)
+            p, o = params, opt.init(params)
+            losses = []
+            for _ in range(8):
+                p, o, loss = step(p, o, mels_j, wavs_j)
+                losses.append(float(loss))
+            out[dt]["losses"] = losses
+        # forward spectra agree to bf16 tolerance on the log-magnitude scale
+        a, b = out["float32"]["spec"], out["bfloat16"]["spec"]
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        assert rel < 0.15, rel
+        # both optimize, with commensurate losses
+        for dt in out:
+            assert out[dt]["losses"][-1] < out[dt]["losses"][0]
+        assert abs(out["bfloat16"]["losses"][-1]
+                   - out["float32"]["losses"][-1]) \
+            < 0.35 * out["float32"]["losses"][0]
+
+
 class TestCLI:
     def test_train_vocoder_cli_toy(self, tmp_path, capsys):
         from vaenar_tts_tpu.cli import train_vocoder as cli
