@@ -59,7 +59,7 @@ def _free_port() -> int:
     return port
 
 
-def _spawn(workspace, port, pid, n_steps=2, max_epochs=2):
+def _spawn(workspace, port, pid, n_steps=2, max_epochs=1):  # inclusive: run epoch 1 only
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORM_NAME": "cpu",

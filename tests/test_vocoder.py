@@ -227,6 +227,31 @@ class TestCLI:
         assert "vocoder step" in out
         assert (tmp_path / "voc" / "vocoder_config.json").exists()
 
+    def test_auto_vocoder_prefers_configured_neural(self, tmp_path, audio):
+        """TestUtils(neural_vocoder_dir=...) routes the auto wav path (the
+        one the training loop's test intervals call) through the neural
+        vocoder."""
+        from vaenar_tts_tpu.audio.export import TestUtils
+        from vaenar_tts_tpu.cli import train_vocoder as cli
+        from vaenar_tts_tpu.configs import get_config
+
+        voc = str(tmp_path / "voc")
+        cli.main(["--dataset", "ljspeech", "--toy", "--model_dir", voc,
+                  "--n_toy_utterances", "2", "--steps", "2",
+                  "--batch_size", "2", "--segment_frames", "24",
+                  "--hidden", "16", "--n_blocks", "1", "--log_every", "1",
+                  "--save_every", "100"])
+        hp = get_config("ljspeech")
+        tester = TestUtils(hp, str(tmp_path / "out"), neural_vocoder_dir=voc)
+        mels = np.random.default_rng(0).random(
+            (2, 40, hp.audio.num_mels)).astype(np.float32)
+        paths = tester.synthesize_and_save_wavs_auto(
+            1, mels, np.asarray([40, 30]), ["a", "b"])
+        assert len(paths) == 2
+        assert all(p.endswith(".wav") for p in paths)
+        # neural loader was engaged (cached on the tester)
+        assert tester._nv_dir == voc
+
     def test_cli_requires_exactly_one_source(self, tmp_path):
         from vaenar_tts_tpu.cli import train_vocoder as cli
         with pytest.raises(SystemExit):

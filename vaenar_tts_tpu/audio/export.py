@@ -40,9 +40,14 @@ def _agg_matplotlib():
 
 
 class TestUtils:
-    def __init__(self, hps: HParams, save_dir: Optional[str]):
+    def __init__(self, hps: HParams, save_dir: Optional[str],
+                 neural_vocoder_dir: Optional[str] = None):
+        """``neural_vocoder_dir``: a trained ISTFT-head vocoder checkpoint
+        (cli.train_vocoder); when set, the auto vocoder path prefers it over
+        Griffin-Lim."""
         self.hps = hps
         self.save_dir = save_dir
+        self.neural_vocoder_dir = neural_vocoder_dir
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
         self.audio = AudioProcessor(hps.audio)
@@ -165,9 +170,14 @@ class TestUtils:
     def synthesize_and_save_wavs_auto(self, tag, mel_batch: np.ndarray,
                                       mel_lengths, ids, prefix: str = "",
                                       seed: int = 0) -> List[str]:
-        """Capability-probed vocoder: batched on-device Griffin-Lim when the
-        attached accelerator can run the compiled loop safely, host threads
-        otherwise (reference GL: audio/audio.py:95-102)."""
+        """Preference-ordered vocoder: the trained neural vocoder when one
+        was configured, else batched on-device Griffin-Lim when the attached
+        accelerator can run the compiled loop safely, else host threads
+        (reference GL: audio/audio.py:95-102)."""
+        if self.neural_vocoder_dir:
+            return self.synthesize_and_save_wavs_neural(
+                tag, mel_batch, mel_lengths, ids, self.neural_vocoder_dir,
+                prefix)
         if device_vocoder_capable():
             return self.synthesize_and_save_wavs_jax(
                 tag, mel_batch, mel_lengths, ids, prefix, seed)

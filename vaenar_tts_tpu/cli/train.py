@@ -38,7 +38,10 @@ def main(argv=None) -> None:
                         help="directory to save model checkpoints")
     parser.add_argument("--log_dir", type=str, required=True)
     parser.add_argument("--test_dir", type=str, default=None)
-    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--max_epochs", type=int, default=None,
+                        help="run through epoch N inclusive (the preset "
+                             "epoch count keeps the reference's exclusive "
+                             "range semantics)")
     parser.add_argument("--steps_per_epoch", type=int, default=None,
                         help="truncate epochs (smoke tests)")
     parser.add_argument("--log_every", type=int, default=50,
@@ -49,6 +52,10 @@ def main(argv=None) -> None:
                         metavar="key.path=value",
                         help="config override, e.g. prior.n_blk=12 "
                              "(repeatable; enables flow-depth ablations)")
+    parser.add_argument("--neural_vocoder", type=str, default=None,
+                        help="trained ISTFT-head vocoder dir "
+                             "(cli.train_vocoder); test-interval wav "
+                             "artifacts then use it instead of Griffin-Lim")
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="multi-host: jax.distributed.initialize() and "
                              "shard input batches by process")
@@ -94,7 +101,7 @@ def main(argv=None) -> None:
     train(hparams, args.data_dir, args.model_dir, args.log_dir,
           test_dir=args.test_dir, max_epochs=args.max_epochs,
           steps_per_epoch=args.steps_per_epoch, log_every=args.log_every,
-          dist=dist)
+          dist=dist, neural_vocoder_dir=args.neural_vocoder)
 
 
 if __name__ == "__main__":

@@ -117,18 +117,21 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
           test_dir: Optional[str] = None,
           max_epochs: Optional[int] = None,
           steps_per_epoch: Optional[int] = None,
-          log_every: int = 50, dist=None) -> TrainState:
+          log_every: int = 50, dist=None,
+          neural_vocoder_dir: Optional[str] = None) -> TrainState:
     """Run (or resume) training. Returns the final TrainState.
 
     ``dist``: a parallel.distributed.DistContext for multi-process (pod)
     training — model state is replicated on the global mesh, each process
     feeds its shard-set's slice of the global data-parallel batch, dev eval
-    splits across processes, and process 0 writes checkpoints/artifacts."""
+    splits across processes, and process 0 writes checkpoints/artifacts.
+    ``neural_vocoder_dir``: optional trained ISTFT-head vocoder; test-interval
+    wav artifacts then use it instead of Griffin-Lim."""
     if dist is not None and dist.process_count == 1:
         dist = None
     is_main = dist is None or dist.is_main
     test_dir = test_dir or os.path.join(log_dir, "test")
-    tester = TestUtils(hp, test_dir)
+    tester = TestUtils(hp, test_dir, neural_vocoder_dir=neural_vocoder_dir)
     metrics_train = MetricsWriter(os.path.join(
         log_dir, "train" if is_main else f"train_p{dist.process_index}"))
     metrics_dev = MetricsWriter(os.path.join(
@@ -252,7 +255,12 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         prev_handler = None
 
     # -- epochs ----------------------------------------------------------------
-    total_epochs = max_epochs if max_epochs is not None else hp.train.epochs
+    # The preset epoch count keeps the reference's exclusive-range quirk
+    # (train.py:269: range(step+1, 2000) runs epochs 1..1999). The explicit
+    # ``max_epochs`` override is INCLUSIVE — "run through epoch N" — because
+    # max_epochs=1 silently running zero epochs is a trap, not parity.
+    total_epochs = (max_epochs + 1 if max_epochs is not None
+                    else hp.train.epochs)
     for epoch in range(state.epoch + 1, total_epochs):
         if stop_requested["flag"]:
             _ckpt_save(state.epoch, state, wait=True)
