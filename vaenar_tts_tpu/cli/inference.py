@@ -91,9 +91,14 @@ def inference_test(args) -> None:
         if key in seen_shapes:
             continue
         seen_shapes.add(key)
-        inf_step(params, batch_stats, jnp.asarray(batch.texts),
-                 jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
-                 max_mel_length=max_mel, temperature=args.temperature)
+        _, pred_w, _ = inf_step(
+            params, batch_stats, jnp.asarray(batch.texts),
+            jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
+            max_mel_length=max_mel, temperature=args.temperature)
+        # force the compile to FINISH here: on async backends (the tunnel)
+        # the dispatch returns while the remote compile is still running,
+        # and without this pull the first timed batch absorbs it
+        np.asarray(pred_w)
 
     time_consumed = 0.0
     durations = 0.0
