@@ -12,6 +12,13 @@ from vaenar_tts_tpu.models import VAENAR
 from vaenar_tts_tpu.training.steps import (init_model, make_optimizer,
                                            make_train_step, make_test_step)
 
+import argparse
+_a = argparse.ArgumentParser()
+_a.add_argument("--train_ms", type=float, default=29.5,
+                help="measured pull-synced train step ms (README table)")
+_a.add_argument("--syn_ms", type=float, default=3.7,
+                help="measured pull-synced synthesis step ms")
+_ar = _a.parse_args()
 B, TT, TM, R = 32, 128, 720, 2
 hp = get_config("ljspeech")
 model = VAENAR(hp)
@@ -36,13 +43,6 @@ def fmt(ca, secs):
           f"intensity: {fl/max(by,1):.0f} flop/B")
     print(f"  at measured {secs*1e3:.1f} ms -> {fl/secs/1e12:.1f} TFLOP/s, "
           f"{by/secs/1e9:.0f} GB/s")
-import argparse
-_a = argparse.ArgumentParser()
-_a.add_argument("--train_ms", type=float, default=29.5,
-                help="measured pull-synced train step ms (README table)")
-_a.add_argument("--syn_ms", type=float, default=3.7,
-                help="measured pull-synced synthesis step ms")
-_ar = _a.parse_args()
 print("train step (batch 32, mel 720, r=2):")
 fmt(ca, _ar.train_ms / 1e3)
 

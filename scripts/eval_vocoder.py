@@ -1,8 +1,10 @@
 """Neural vocoder vs Griffin-Lim: quality + speed on held-out utterances.
 
 Loads a trained ISTFT-head vocoder (cli.train_vocoder) and compares it to
-the reference-parity Griffin-Lim on utterances NOT seen in training (fresh
-toy-corpus draws from a disjoint seed):
+Griffin-Lim — the fast float32 path (the shipped vocoder default: same
+algorithm and iteration count as the reference-parity float64 GL, measured
+at identical spectral-convergence error, audio/dsp.py) — on utterances NOT
+seen in training (fresh toy-corpus draws from a disjoint seed):
 
   * mel-domain fidelity: L1 and MCD between each vocoded waveform's
     re-extracted mel and the ground-truth mel (the metric that matters for a

@@ -252,6 +252,24 @@ class TestCLI:
         # neural loader was engaged (cached on the tester)
         assert tester._nv_dir == voc
 
+    def test_mismatched_audio_config_fails_fast(self, tmp_path, audio, cfg):
+        """A vocoder trained under a different audio geometry must be
+        rejected at TestUtils construction, not silently mis-vocode."""
+        import dataclasses as dc
+
+        from vaenar_tts_tpu.audio.export import TestUtils
+        from vaenar_tts_tpu.configs import get_config
+        from vaenar_tts_tpu.training.vocoder import PairSampler, train_vocoder
+
+        y = _tone(audio, dur=0.5)
+        short = dc.replace(cfg, steps=2)
+        train_vocoder(short, audio, PairSampler([y], audio, cfg.segment_frames),
+                      str(tmp_path / "v"), log_every=1, save_every=100)
+        hp = get_config("ljspeech")  # full config: n_fft 2048 != fixture 256
+        with pytest.raises(ValueError, match="different audio config"):
+            TestUtils(hp, str(tmp_path / "out"),
+                      neural_vocoder_dir=str(tmp_path / "v"))
+
     def test_cli_requires_exactly_one_source(self, tmp_path):
         from vaenar_tts_tpu.cli import train_vocoder as cli
         with pytest.raises(SystemExit):

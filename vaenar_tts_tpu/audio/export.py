@@ -52,6 +52,35 @@ class TestUtils:
             os.makedirs(save_dir, exist_ok=True)
         self.audio = AudioProcessor(hps.audio)
         self.tokenizer = CharTokenizer(hps.text)
+        if neural_vocoder_dir:
+            # fail FAST on a broken/missing/incompatible vocoder: a lazy load
+            # would silently drop every test-interval wav (the training loop
+            # swallows vocoder errors, matching reference train.py:314-318)
+            self._load_neural_vocoder(neural_vocoder_dir)
+
+    def _load_neural_vocoder(self, vocoder_dir: str):
+        """Load + cache a neural vocoder, validating its audio config
+        against this model's (a mismatched hop/sr would silently truncate
+        and mis-stamp the wavs)."""
+        if getattr(self, "_nv", None) is not None \
+                and self._nv_dir == vocoder_dir:
+            return self._nv
+        from ..models.vocoder import load_vocoder
+        nv = load_vocoder(vocoder_dir)
+        va, ta = nv[0].audio, self.hps.audio
+        mismatches = {
+            k: (getattr(va, k), getattr(ta, k))
+            for k in ("sample_rate", "frame_shift_sample",
+                      "frame_length_sample", "num_mels", "num_freq")
+            if getattr(va, k) != getattr(ta, k)}
+        if mismatches:
+            raise ValueError(
+                f"neural vocoder at {vocoder_dir} was trained under a "
+                f"different audio config than this model: {mismatches} "
+                f"(vocoder, model). Retrain it with the matching "
+                f"--dataset/audio overrides.")
+        self._nv, self._nv_dir = nv, vocoder_dir
+        return nv
 
     # -- mels (reference audio/utils.py:16-22) --------------------------------
 
@@ -119,11 +148,8 @@ class TestUtils:
         is the inverse-preemphasis IIR and file writes."""
         import jax.numpy as jnp
 
-        from ..models.vocoder import load_vocoder, vocode
-        if getattr(self, "_nv", None) is None or self._nv_dir != vocoder_dir:
-            self._nv = load_vocoder(vocoder_dir)
-            self._nv_dir = vocoder_dir
-        model, params = self._nv
+        from ..models.vocoder import vocode
+        model, params = self._load_neural_vocoder(vocoder_dir)
         wavs = np.asarray(
             vocode(model, params, jnp.asarray(mel_batch, jnp.float32)),
             np.float32)
