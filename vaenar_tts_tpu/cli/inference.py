@@ -34,16 +34,28 @@ from ..training.steps import init_model, make_inference_step
 from ..utils.checkpoint import CheckpointManager
 
 
-def load_model_state(hp, model_dir: str):
+def load_model_state(hp, model_dir: str, compute_dtype: str | None = None):
     """Restore the latest checkpoint for synthesis (the reference's
     model-only expect_partial restore, inference.py:122-123). If the model
     dir carries an hparams.json (written by training), that resolved config
     wins over the CLI preset - checkpoints from --override runs restore
-    exactly."""
+    exactly.
+
+    ``compute_dtype`` overrides the transformer compute dtype for synthesis
+    only (params are stored fp32, so this is a free cast choice): measured
+    on v5e, float32 synthesis is ~1.7x FASTER than bfloat16 at the shipped
+    short shapes (the cast traffic around the fp32 flow outweighs MXU
+    savings; scripts/perf_ab.py), while bfloat16 + the flash kernels win at
+    long-form shapes (scripts/perf_longform.py)."""
+    import dataclasses
+
     from ..configs.serialize import load_hparams
     saved = load_hparams(model_dir)
     if saved is not None:
         hp = saved
+    if compute_dtype:
+        hp = hp.replace(train=dataclasses.replace(
+            hp.train, compute_dtype=compute_dtype))
     model = VAENAR(hp)
     params, batch_stats = init_model(hp, model, hp.train.random_seed,
                                      text_max=hp.dataset.text_bucket,
@@ -61,7 +73,8 @@ def load_model_state(hp, model_dir: str):
 
 def inference_test(args) -> None:
     hp = get_config(args.dataset)
-    hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
+    hp, model, params, batch_stats, epoch = load_model_state(
+        hp, args.model_dir, compute_dtype=args.compute_dtype)
     tester = TestUtils(hp, args.test_dir)
     if args.draw_alignments:
         # alignments are not materialized on the fused attention path; swap
@@ -160,7 +173,8 @@ def inference_test(args) -> None:
 
 def synthesize_from_text(args) -> None:
     hp = get_config(args.dataset)
-    hp, model, params, batch_stats, epoch = load_model_state(hp, args.model_dir)
+    hp, model, params, batch_stats, epoch = load_model_state(
+        hp, args.model_dir, compute_dtype=args.compute_dtype)
     tester = TestUtils(hp, args.test_dir)
     from ..training.steps import plots_variant
     inf_step = make_inference_step(hp, VAENAR(plots_variant(hp)))
@@ -232,6 +246,12 @@ def main(argv=None) -> None:
                              "vocoder (cli.train_vocoder); vocodes the whole "
                              "batch in one device pass instead of "
                              "Griffin-Lim")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="override the transformer compute dtype for "
+                             "synthesis (params are fp32; free cast choice). "
+                             "Measured: float32 is ~1.7x faster at the "
+                             "shipped short shapes, bfloat16 wins long-form")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
