@@ -25,7 +25,6 @@ log_scale/bias are sowed and merged into params by
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -35,7 +34,6 @@ from flax import linen as nn
 from .attention import CrossAttentionBlock
 from .layers import positional_encoding, sequence_mask
 
-LOG_2PI = math.log(2.0 * math.pi)
 
 
 def _length_logdet(logdet_scalar: jnp.ndarray, lengths: Optional[jnp.ndarray],
@@ -108,7 +106,8 @@ class InvertibleLinear(nn.Module):
         batch, max_time = x.shape[0], x.shape[1]
         x = x.astype(jnp.float32)
         w = self.weight.astype(jnp.float32)
-        sign, logabsdet = jnp.linalg.slogdet(w)
+        # sign is irrelevant: only log|det| enters the density
+        _, logabsdet = jnp.linalg.slogdet(w)
         # HIGHEST precision: on TPU the default matmul precision is bf16,
         # which would break exact invertibility of the channel mix.
         if reverse:

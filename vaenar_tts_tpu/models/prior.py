@@ -93,6 +93,8 @@ class TransformerPrior(nn.Module):
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Draw z ~ p(z|text): [batch, max_length, channels], logprobs [batch]
         (reference prior.py:154-169)."""
+        if max_length is None:
+            raise ValueError("max_length must be provided (static shape)")
         epsilon, logprobs = self._initial_sample(
             targets_lengths, max_length, temperature=temperature)
         return self._forward_stack(epsilon, logprobs, condition_inputs,
@@ -128,6 +130,8 @@ class TransformerPrior(nn.Module):
         """Forward pass with ActNorm data-dependent init
         (reference prior.py:171-186). Run under
         apply(..., mutable=['flow_init'])."""
+        if max_length is None:
+            raise ValueError("max_length must be provided (static shape)")
         epsilon, logprobs = self._initial_sample(targets_lengths, max_length)
         return self._forward_stack(epsilon, logprobs, conditions,
                                    targets_lengths, condition_lengths,

@@ -280,6 +280,8 @@ class VAENAR(nn.Module):
                   max_mel_length: Optional[int] = None):
         """Run under apply(..., mutable=['flow_init', 'batch_stats']); merge
         the sowed ActNorm stats with ``merge_flow_init``."""
+        if max_mel_length is None:
+            raise ValueError("max_mel_length must be provided (static shape)")
         r = self.max_reduction_factor
         reduced_mel_lens = (mel_lengths + r - 1) // r
         reduced_max = -(-max_mel_length // r)

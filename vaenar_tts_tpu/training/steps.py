@@ -175,7 +175,13 @@ def make_alignment_probe(hp: HParams, model: VAENAR) -> Callable:
     -> (mels, {site_path: alignments}) where sites from the synthesis pass
     (prior sample + decode) are prefixed "infer/" and sites from the
     training-mode posterior pass are prefixed "post/".
+
+    The probe always runs the plots variant (fused attention off): on the
+    fused path alignments are not materialized and the sow is skipped, which
+    would silently drop sites from the measurement. The param tree is
+    identical, so the caller's params apply unchanged.
     """
+    model = VAENAR(plots_variant(hp))
 
     @partial(jax.jit, static_argnames=("reduction_factor", "max_mel_length"))
     def probe(params, batch_stats, texts, mels, t_lens, m_lens, rng,
