@@ -48,6 +48,18 @@ class StreamingVocoder:
                  iters: Optional[int] = None):
         if chunk_frames < 1:
             raise ValueError("chunk_frames must be >= 1")
+        if context_frames < 1:
+            # the emit-region geometry relies on >=1 frame of right context
+            # for every non-final chunk (len(y) = hop*(W-1) would otherwise
+            # truncate each chunk one hop short)
+            raise ValueError("context_frames must be >= 1")
+        if crossfade_samples < 0:
+            raise ValueError("crossfade_samples must be >= 0")
+        if not ap.cfg.center:
+            raise NotImplementedError(
+                "StreamingVocoder assumes center=True STFT geometry "
+                "(sample offsets are frame*hop); center=False configs must "
+                "use the whole-utterance vocoder")
         self.ap = ap
         self.cfg = ap.cfg
         self.chunk = chunk_frames
@@ -112,7 +124,12 @@ class StreamingVocoder:
             piece = y[lo:hi].copy()
             if prev_tail is not None and len(piece):
                 m = min(len(prev_tail), len(piece), self.xfade)
-                w = fade_out[:m]
+                # ramp over the ACTUAL overlap m: slicing the full-length
+                # ramp would end at a nonzero weight and leave a step at the
+                # blend boundary when m < xfade
+                w = (fade_out[:m] if m == self.xfade else
+                     0.5 * (1.0 + np.cos(
+                         np.linspace(0.0, np.pi, m, dtype=np.float32))))
                 piece[:m] = prev_tail[:m] * w + piece[:m] * (1.0 - w)
             # keep the samples this window computed past its emit region for
             # cross-fading the next chunk's start

@@ -37,8 +37,19 @@ def _extract_one(args) -> str:
     wav_arr = ap.preemphasize(wav_arr)
     mels = ap.melspectrogram(wav_arr)
     fid = os.path.basename(wav_f).rsplit(".", 1)[0]
-    np.save(os.path.join(mel_dir, fid + ".npy"), mels.T.astype(np.float32))
+    _atomic_save(os.path.join(mel_dir, fid + ".npy"),
+                 mels.T.astype(np.float32))
     return fid
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via tmp+rename: a worker killed mid-write must not leave a
+    truncated .npy that the existence-only resume check then trusts
+    (feats_extract_finish)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file object: np.save must not append .npy
+        np.save(f, arr)
+    os.replace(tmp, path)
 
 
 class TextMelCorpus:
@@ -182,7 +193,8 @@ class TextMelCorpus:
         if use_device:
             self._extract_mels_device(wav_list)
             return
-        num_workers = num_workers or min(32, os.cpu_count() or 1)
+        if num_workers is None:  # 0 means "serial", not "default pool"
+            num_workers = min(32, os.cpu_count() or 1)
         tasks = [(w, self.mel_dir, self.hps.audio) for w in wav_list]
         if num_workers <= 1:
             for t in tasks:
@@ -223,15 +235,20 @@ class TextMelCorpus:
                 y = self.audio_processor.preemphasize(y).astype(np.float32)
                 y = np.pad(y, n_fft // 2, mode="reflect")
                 chunk.append((len(y), fid, y))
-            max_len = ((max(n for n, _, _ in chunk) + hop - 1) // hop) * hop
+            # coarse buckets (~0.75 s of audio): hop-granular padding would
+            # create hundreds of distinct jit shapes over a real corpus,
+            # each a multi-second device compile
+            bucket = hop * 64
+            max_len = ((max(n for n, _, _ in chunk) + bucket - 1)
+                       // bucket) * bucket
             batch = np.zeros((len(chunk), max_len), np.float32)
             for j, (n, _, y) in enumerate(chunk):
                 batch[j, :n] = y
             mels = np.asarray(fn(jnp.asarray(batch)), np.float32)
             for j, (n, fid, _) in enumerate(chunk):
                 n_frames = 1 + (n - n_fft) // hop
-                np.save(os.path.join(self.mel_dir, fid + ".npy"),
-                        mels[j, :n_frames])
+                _atomic_save(os.path.join(self.mel_dir, fid + ".npy"),
+                             np.ascontiguousarray(mels[j, :n_frames]))
             if (i // batch_size) % 20 == 0:
                 print(f"  device-extracted "
                       f"{min(i + batch_size, len(wav_list))}/{len(wav_list)}")

@@ -107,12 +107,19 @@ class BucketedLoader:
         entries = list(idxs)
         if self.pad_batch and n_valid < self.batch_size:
             entries = entries + [entries[-1]] * (self.batch_size - n_valid)
+        need_t = max(t for (_, t, _, _) in entries)
+        need_m = max(m for (m, _, _, _) in entries)
         text_max = (self.fixed_text_max if self.fixed_text_max is not None
-                    else pad_to_multiple(max(t for (_, t, _, _) in entries),
-                                         self.text_bucket))
+                    else pad_to_multiple(need_t, self.text_bucket))
         mel_max = (self.fixed_mel_max if self.fixed_mel_max is not None
-                   else pad_to_multiple(max(m for (m, _, _, _) in entries),
-                                        self.mel_bucket))
+                   else pad_to_multiple(need_m, self.mel_bucket))
+        if need_t > text_max or need_m > mel_max:
+            # must precede packing: the native memcpy path has no bounds
+            # check and would silently overflow rows on a stale fixed_* pin
+            raise ValueError(
+                f"batch needs (text {need_t}, mel {need_m}) but the loader "
+                f"is pinned to ({text_max}, {mel_max}); re-sync "
+                f"fixed_text_max/fixed_mel_max with the data")
         B = len(entries)
         texts = np.zeros((B, text_max), np.int32)
         mels = np.zeros((B, mel_max, self.num_mels), np.float32)
@@ -143,10 +150,13 @@ class BucketedLoader:
         by_reader: dict = {}
         for row, (_, _, ri, li) in enumerate(entries):
             by_reader.setdefault(ri, []).append((li, row))
+        # dtype check over ALL touched readers BEFORE packing any: bailing
+        # halfway would waste the native work on every batch of the epoch
+        if any(self.readers[ri]._mel_blob.dtype != np.float32
+               for ri in by_reader):
+            return False
         for ri, pairs in by_reader.items():
             r = self.readers[ri]
-            if r._mel_blob.dtype != np.float32:
-                return False
             indices = np.asarray([p[0] for p in pairs], np.int64)
             rows = np.asarray([p[1] for p in pairs], np.int64)
             fn(r._text_blob.ctypes.data_as(i32p),
@@ -193,6 +203,13 @@ class BucketedLoader:
                   for i in range(0, len(self._entries), self.batch_size)]
         if self.drop_last and groups and len(groups[-1]) < self.batch_size:
             groups.pop()
+        if self.fixed_text_max is not None or self.fixed_mel_max is not None:
+            # pinned loaders emit exactly one static shape
+            tm = (self.fixed_text_max if self.fixed_text_max is not None
+                  else pad_to_multiple(self.max_text_len, self.text_bucket))
+            mm = (self.fixed_mel_max if self.fixed_mel_max is not None
+                  else pad_to_multiple(self.max_mel_len, self.mel_bucket))
+            return {(tm, mm): len(groups)}
         for g in groups:
             tm = pad_to_multiple(max(t for (_, t, _, _) in g), self.text_bucket)
             mm = pad_to_multiple(max(m for (m, _, _, _) in g), self.mel_bucket)

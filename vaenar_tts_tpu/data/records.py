@@ -86,7 +86,11 @@ class RecordShardWriter:
             "mel_offsets": [int(x) for x in mel_offsets],
         }
         header_bytes = json.dumps(header).encode("utf-8")
-        with open(self.path, "wb") as f:
+        # assemble under .part and rename: concurrent readers (multi-host
+        # record phase) or a killed run must never see a valid-magic but
+        # truncated shard
+        part = self.path + ".part"
+        with open(part, "wb") as f:
             f.write(MAGIC)
             f.write(np.uint64(len(header_bytes)).tobytes())
             f.write(header_bytes)
@@ -94,6 +98,7 @@ class RecordShardWriter:
                 with open(tmp_path, "rb") as tmp:
                     shutil.copyfileobj(tmp, f, length=1 << 24)
                 os.remove(tmp_path)
+        os.replace(part, self.path)
 
 
 class RecordShardReader:
