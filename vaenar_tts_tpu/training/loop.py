@@ -261,23 +261,27 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     # max_epochs=1 silently running zero epochs is a trap, not parity.
     total_epochs = (max_epochs + 1 if max_epochs is not None
                     else hp.train.epochs)
+    # both startup paths leave state.epoch on disk (restore-latest, or the
+    # post-init epoch-0 save)
+    last_saved_epoch = state.epoch
+    interrupted_mid_epoch = False
     for epoch in range(state.epoch + 1, total_epochs):
-        if stop_requested["flag"]:
-            _ckpt_save(state.epoch, state, wait=True)
-            print(f"preemption checkpoint saved at epoch {state.epoch}")
-            break
         kl_weight = hp.train.kl_weight_at(epoch)
         r = hp.train.reduction_factor_at(epoch)
         print(f"Epoch {epoch}: kl_weight={kl_weight}, reduction_factor={r}")
         epoch_start = time.time()
-        sums: Dict[str, float] = {}
+        sums_dev = None  # metric sums as DEVICE scalars: pulled once/epoch
         n_steps = 0
         def to_device(batches):
             # host->device copies enqueue from the prefetch thread, one batch
-            # ahead of compute (JAX dispatch is thread-safe + async)
+            # ahead of compute (JAX dispatch is thread-safe + async). BOTH
+            # step caps terminate the generator here so the prefetch worker
+            # drains and exits instead of blocking on a full queue forever
             for i, b in enumerate(batches):
                 if steps_cap is not None and i >= steps_cap:
                     break  # lockstep across processes
+                if steps_per_epoch and i >= steps_per_epoch:
+                    break
                 if dist is not None:
                     yield dist.global_batch(b.texts, b.mels, b.text_lengths,
                                             b.mel_lengths)
@@ -288,6 +292,14 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
 
         for texts_d, mels_d, tlens_d, mlens_d in prefetch(
                 to_device(train_loader.epoch(epoch))):
+            if stop_requested["flag"] and dist is None:
+                # single-process: stop NOW (preemption grace periods are
+                # short); the partial epoch is discarded and re-run on
+                # resume. Multi-process keeps epoch-boundary stopping: a
+                # process breaking mid-epoch would leave its peers hanging
+                # in the next step's collective.
+                interrupted_mid_epoch = True
+                break
             rng, sub = jax.random.split(rng)
             step_start = time.time()
             p, bs, os_, m = train_step(
@@ -301,10 +313,19 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                 print(f"  step {n_steps}: " + ", ".join(
                     f"{k} {v:.6f}" for k, v in mh.items())
                     + f", time {time.time() - step_start:.3f}s")
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            if steps_per_epoch and n_steps >= steps_per_epoch:
-                break
+            # accumulate ON DEVICE: a float(v) per step is a blocking
+            # device->host pull that serializes dispatch with compute
+            # (very slow over the tunnel); one pull per epoch suffices
+            sums_dev = (m if sums_dev is None else
+                        jax.tree_util.tree_map(jnp.add, sums_dev, m))
+        if interrupted_mid_epoch:
+            if last_saved_epoch != state.epoch:
+                _ckpt_save(state.epoch, state, wait=True)
+            print(f"preemption: stopped during epoch {epoch}; checkpoint at "
+                  f"completed epoch {state.epoch}")
+            break
+        sums = ({k: float(v) for k, v in sums_dev.items()}
+                if sums_dev is not None else {})
         train_avg = {k: v / max(n_steps, 1) for k, v in sums.items()}
         print(f"Epoch {epoch} train done in {time.time() - epoch_start:.1f}s: "
               f"{train_avg}")
@@ -373,16 +394,26 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         if (epoch % hp.train.checkpoint_every_n_epochs == 0
                 or epoch == total_epochs - 1):
             _ckpt_save(epoch, state)
+            last_saved_epoch = epoch
 
         if epoch % hp.train.test_interval == 0 and test_dir:
+            rng, test_sub = jax.random.split(rng)  # no key reuse with train
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
-                                epoch, r, rng, metrics_writer=metrics_dev,
+                                epoch, r, test_sub, metrics_writer=metrics_dev,
                                 dist=dist)
         if stop_requested["flag"]:
-            print(f"stopping after epoch {epoch} (preemption)")
+            if last_saved_epoch != epoch:
+                # the retention schedule skipped this epoch; a preemption
+                # exit must still leave the completed work on disk
+                _ckpt_save(epoch, state, wait=True)
+                last_saved_epoch = epoch
+            print(f"stopping after epoch {epoch} (preemption); "
+                  f"checkpoint at epoch {epoch}")
             break
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
+    metrics_train.close()
+    metrics_dev.close()
     ckpt.close()
     return state
 

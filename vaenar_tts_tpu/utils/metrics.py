@@ -28,11 +28,12 @@ def mel_l2(pred: np.ndarray, ref: np.ndarray) -> float:
 
 def mcd(pred: np.ndarray, ref: np.ndarray, n_coeffs: int = 13) -> float:
     """Mel-cepstral distortion (dB) over overlapping frames of [T, D] log-mel
-    inputs, via DCT-II cepstra (coefficient 0 excluded)."""
+    inputs, via DCT-II cepstra: standard MCD-13 takes coefficients c1..c13
+    (c0, the energy term, excluded)."""
     from scipy.fftpack import dct
     n = min(pred.shape[0], ref.shape[0])
-    c_pred = dct(pred[:n], type=2, axis=1, norm="ortho")[:, 1:n_coeffs]
-    c_ref = dct(ref[:n], type=2, axis=1, norm="ortho")[:, 1:n_coeffs]
+    c_pred = dct(pred[:n], type=2, axis=1, norm="ortho")[:, 1:n_coeffs + 1]
+    c_ref = dct(ref[:n], type=2, axis=1, norm="ortho")[:, 1:n_coeffs + 1]
     k = 10.0 / np.log(10.0) * np.sqrt(2.0)
     return float(np.mean(k * np.sqrt(np.sum((c_pred - c_ref) ** 2, axis=1))))
 
