@@ -81,10 +81,12 @@ def test_tp_sharding_rules_only_hit_wide_kernels():
     assert sharded == []
 
 
-def test_ring_sequence_parallel_full_model_matches():
+def test_ring_sequence_parallel_full_model_matches(monkeypatch):
     """VAENAR with seq_mesh set (every eligible self-attention on the
     ppermute ring, time sharded over 'model') must match the plain model's
     losses AND gradients — same params, different schedule."""
+    import vaenar_tts_tpu.parallel.ring_attention as ra
+    monkeypatch.setattr(ra, "RING_MIN_SEQ", 0)  # tiny shapes must still ring
     mesh = make_mesh(data=4, model=2)
     plain = VAENAR(HP)
     ringed = VAENAR(HP, seq_mesh=mesh)
@@ -119,11 +121,14 @@ def test_ring_skips_when_time_indivisible():
     path (static trace-time check), so ragged buckets still work."""
     from vaenar_tts_tpu.parallel.ring_attention import ring_eligible
     mesh = make_mesh(data=2, model=4)
-    assert not ring_eligible(mesh, "model", 30, 30)   # 30 % 4 != 0
-    assert not ring_eligible(mesh, "model", 32, 16)   # cross-attention
-    assert not ring_eligible(None, "model", 32, 32)
-    assert not ring_eligible(mesh, "nope", 32, 32)
-    assert ring_eligible(mesh, "model", 32, 32)
+    assert not ring_eligible(mesh, "model", 30, 30, min_seq=0)  # 30 % 4 != 0
+    assert not ring_eligible(mesh, "model", 32, 16, min_seq=0)  # cross-attn
+    assert not ring_eligible(None, "model", 32, 32, min_seq=0)
+    assert not ring_eligible(mesh, "nope", 32, 32, min_seq=0)
+    assert ring_eligible(mesh, "model", 32, 32, min_seq=0)
+    # profitability floor: short sequences stay on the local fused path
+    assert not ring_eligible(mesh, "model", 512, 512)
+    assert ring_eligible(mesh, "model", 2048, 2048)
 
 
 def test_sequence_sharded_forward_matches():

@@ -122,13 +122,28 @@ class MultiHeadAttention(nn.Module):
         if self.ring_mesh is not None and inputs is memory:
             from ..parallel.ring_attention import ring_eligible
             use_ring = ring_eligible(self.ring_mesh, self.ring_axis, tq, tk)
-        use_fused = self.use_pallas is True
-        if self.use_pallas == "auto":
+            if (query_lengths is not None and memory_lengths is not None
+                    and query_lengths is not memory_lengths):
+                # the ring carries ONE length per sequence (self-attention);
+                # distinct query/key lengths are not representable there, so
+                # honor the documented mask semantics on the XLA path
+                use_ring = False
+        if self.use_pallas in (True, "on"):
+            use_fused = True
+        elif self.use_pallas == "auto":
             from ..ops.flash_attention import pallas_profitable
             use_fused = pallas_profitable(tq, tk)
+        elif self.use_pallas in (False, "off", None):
+            use_fused = False
+        else:
+            raise ValueError(
+                f"use_pallas must be True/'on', False/'off'/None or 'auto'; "
+                f"got {self.use_pallas!r}")
         if use_ring:
             from ..parallel.ring_attention import ring_self_attention
-            lengths = (query_lengths if query_lengths is not None
+            lengths = query_lengths if query_lengths is not None \
+                else memory_lengths
+            lengths = (lengths if lengths is not None
                        else jnp.full((batch,), tq, jnp.int32))
             contexts = ring_self_attention(
                 qh, kh, vh, lengths, self.ring_mesh, scale=scale,

@@ -49,10 +49,19 @@ NEG = -2.0 ** 32 + 1.0
 # the measured 512..768 bracket.
 PALLAS_MIN_SCORE_ELEMENTS = 640 * 640
 
+# Upper bound for "auto": the forward kernel keeps the FULL [Tk, D] k/v plus
+# two [bq, Tk] fp32 temporaries resident in VMEM, which outgrows the ~16 MB
+# scoped budget somewhere past Tk=4096 at the shipped head dims. The kernel
+# is measured through 4096; beyond that "auto" routes to XLA (which compiles
+# via HBM) instead of failing Mosaic allocation at compile time. A k-blocked
+# online-softmax forward would lift this — revisit if a config needs it.
+PALLAS_MAX_KV_LENGTH = 4096
+
 
 def pallas_profitable(tq: int, tk: int) -> bool:
     """Static (trace-time) auto-selection rule for ``use_pallas='auto'``."""
-    return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
+    return (tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
+            and tk <= PALLAS_MAX_KV_LENGTH)
 
 
 def _block_size(t: int, cap: int = 256) -> int:
@@ -109,6 +118,16 @@ def _fwd_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, s_ref,
     s_ref[0, 0, :, 0] = s[:, 0]
 
 
+def _default_lengths(q_lengths, m_lengths, B, Tq, Tk):
+    """Single source of the None-lengths materialization rule, shared by the
+    primal and VJP paths so they cannot drift."""
+    if q_lengths is None:
+        q_lengths = jnp.full((B,), Tq, jnp.int32)
+    if m_lengths is None:
+        m_lengths = jnp.full((B,), Tk, jnp.int32)
+    return q_lengths, m_lengths
+
+
 def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal,
                     with_stats: bool = False):
     B, H, Tq, D = q.shape
@@ -121,10 +140,7 @@ def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal,
         return out
     n_q_blocks = Tq // bq
 
-    if q_lengths is None:
-        q_lengths = jnp.full((B,), Tq, jnp.int32)
-    if m_lengths is None:
-        m_lengths = jnp.full((B,), Tk, jnp.int32)
+    q_lengths, m_lengths = _default_lengths(q_lengths, m_lengths, B, Tq, Tk)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal, bq=bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -366,10 +382,7 @@ def _fwd(q, k, v, q_lengths, m_lengths, scale, causal):
     if _block_size(Tq) == 0:
         out = _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal)
         return out, (q, k, v, q_lengths, m_lengths, None, None, None)
-    ql = (q_lengths if q_lengths is not None
-          else jnp.full((B,), Tq, jnp.int32))
-    ml = (m_lengths if m_lengths is not None
-          else jnp.full((B,), Tk, jnp.int32))
+    ql, ml = _default_lengths(q_lengths, m_lengths, B, Tq, Tk)
     out, sm_m, sm_s = _pallas_forward(q, k, v, ql, ml, scale, causal,
                                       with_stats=True)
     return out, (q, k, v, ql, ml, out, sm_m, sm_s)

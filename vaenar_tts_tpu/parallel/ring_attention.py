@@ -108,9 +108,20 @@ def ring_self_attention(q, k, v, lengths, mesh: Mesh, *, scale: float = 1.0,
     return shard(q, k, v, lengths)
 
 
-def ring_eligible(mesh: Optional[Mesh], axis: str, tq: int, tk: int) -> bool:
-    """Static trace-time check: can this (self-)attention run on the ring?"""
+# Minimum total sequence length for the ring to pay for its collectives:
+# below this, a handful of tiny per-shard einsums plus 2 ppermutes per ring
+# step per layer loses to one local fused attention (the analogue of the
+# Pallas PALLAS_MIN_SCORE_ELEMENTS crossover; unmeasurable without real
+# multi-chip ICI, so set where sequence sharding plausibly matters and kept
+# overridable for tests/benchmarks).
+RING_MIN_SEQ = 1024
+
+
+def ring_eligible(mesh: Optional[Mesh], axis: str, tq: int, tk: int,
+                  min_seq: Optional[int] = None) -> bool:
+    """Static trace-time check: can/should this (self-)attention ring?"""
     if mesh is None or axis not in mesh.axis_names:
         return False
     n = mesh.shape[axis]
-    return n > 1 and tq == tk and tq % n == 0
+    min_seq = RING_MIN_SEQ if min_seq is None else min_seq
+    return n > 1 and tq == tk and tq % n == 0 and tq >= min_seq

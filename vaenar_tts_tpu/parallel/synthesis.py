@@ -31,7 +31,12 @@ class ShardedSynthesizer:
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.n_data = self.mesh.shape["data"]
         rep = replicated(self.mesh)
-        self.params = jax.device_put(params, rep)
+        # honor the mesh's model axis: TP rules shard wide kernels when
+        # model>1, everything else (and all of it at model=1) replicates —
+        # a blanket replicated device_put here would silently undo a
+        # caller's TP sharding
+        from .mesh import shard_params
+        self.params = shard_params(params, self.mesh)
         self.batch_stats = jax.device_put(batch_stats, rep)
         self._step = make_inference_step(hp, model)
         self._bsh = batch_sharding(self.mesh)
@@ -55,7 +60,13 @@ class ShardedSynthesizer:
 
     def run_dataset(self, loader: BucketedLoader, max_mel_length: int,
                     temperature: float = 0.0) -> Iterator[Tuple[Batch, np.ndarray, np.ndarray, float]]:
-        """Yield (batch, mels, predicted_lengths, seconds) per batch."""
+        """Yield (batch, mels, predicted_lengths, seconds) per batch.
+
+        ``seconds`` is wall time INCLUDING the device->host mel pull (the
+        pull is also what makes the timing honest — see CLAUDE.md on
+        block_until_ready over the tunnel) and, on the first batch of each
+        shape, the compile. For device-only throughput use bench.py's
+        chained-marginal protocol."""
         rng = jax.random.key(0)
         for i, batch in enumerate(loader.epoch(0)):
             t0 = time.perf_counter()
