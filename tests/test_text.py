@@ -37,7 +37,9 @@ class TestNumbers:
         assert ordinal_words(12) == "twelfth"
         assert ordinal_words(20) == "twentieth"
         assert ordinal_words(23) == "twenty-third"
-        assert ordinal_words(101) == "one hundred first"
+        # inflect default andword: the reference emits the "and" in ordinals
+        assert ordinal_words(101) == "one hundred and first"
+        assert ordinal_words(123) == "one hundred and twenty-third"
 
     def test_years(self):
         assert normalize_numbers("in 1906") == "in nineteen oh six"

@@ -16,11 +16,19 @@ from typing import Any, List, Sequence
 from .hparams import HParams
 
 
-def _parse_value(raw: str, current: Any) -> Any:
-    # bools and tri-state bool/"auto" knobs (use_pallas_attention)
-    if isinstance(current, bool) or (isinstance(current, str)
-                                     and current in ("auto", "on", "off")):
+def _parse_value(raw: str, current: Any, field_name: str = "") -> Any:
+    # the tri-state bool/"auto" knob (use_pallas_attention) accepts "auto";
+    # plain bool fields must NOT (a truthy 'auto' string silently stored in
+    # e.g. train.shuffle would survive serialization as a type-invalid value)
+    tri_state = (field_name == "use_pallas_attention"
+                 or (isinstance(current, str)
+                     and current in ("auto", "on", "off")))
+    if isinstance(current, bool) or tri_state:
         if raw.lower() == "auto":
+            if not tri_state:
+                raise ValueError(
+                    f"{field_name}: 'auto' is only valid for tri-state "
+                    f"knobs, not plain booleans")
             return "auto"
         return raw.lower() in ("1", "true", "yes", "on")
     if isinstance(current, int):
@@ -46,7 +54,7 @@ def apply_overrides(hp: HParams, overrides: Sequence[str]) -> HParams:
             nodes.append(getattr(nodes[-1], k))
         leaf_parent = nodes[-1]
         current = getattr(leaf_parent, keys[-1])
-        value = _parse_value(raw.strip(), current)
+        value = _parse_value(raw.strip(), current, field_name=keys[-1])
         # rebuild the dataclass chain immutably
         new = dataclasses.replace(leaf_parent, **{keys[-1]: value})
         for node, key in zip(reversed(nodes[:-1]), reversed(keys[:-1])):

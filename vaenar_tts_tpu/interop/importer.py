@@ -78,9 +78,12 @@ def load_reference_checkpoint(
         _set_path(trees[coll], path, arr)
 
     # every model variable must be consumed (ignore optimizer/, save_counter,
-    # step, and the serialized object graph)
+    # step, the serialized object graph, AND Adam slot variables — TF stores
+    # those as 'model/<var>/.OPTIMIZER_SLOT/optimizer/m|v/...', i.e. under
+    # the model/ prefix, in full training checkpoints, train.py:246-248)
     consumed = set(table)
-    model_vars = {k for k in available if k.startswith("model/")}
+    model_vars = {k for k in available
+                  if k.startswith("model/") and ".OPTIMIZER_SLOT" not in k}
     orphans = model_vars - consumed
     if orphans:
         raise ValueError(
@@ -106,10 +109,69 @@ def check_tree_match(imported: Dict, initialized: Dict,
         raise ValueError(f"{label}: shape mismatches: {bad[:5]}")
 
 
+_ATTR_SUFFIX = "/.ATTRIBUTES/VARIABLE_VALUE"
+
+
+def _object_graph_bytes(keys: List[str]) -> bytes:
+    """Serialize a TF TrackableObjectGraph proto reconstructed from the
+    checkpoint-key paths, so the reference's OBJECT-BASED restore
+    (tf.train.Checkpoint(model=...).restore(prefix), reference
+    inference.py:121-123) resolves our exported bundle — without this entry
+    TF falls back to name matching, finds nothing, and expect_partial()
+    silently restores fresh weights.
+
+    The trackable object topology is recoverable from the keys themselves:
+    each '/'-separated component of 'model/a/b/kernel/.ATTRIBUTES/
+    VARIABLE_VALUE' is a child attribute name along the reference's Python
+    object graph, and the terminal node is the variable holding one
+    SerializedTensor attribute named VARIABLE_VALUE."""
+    from .tensorbundle import _pb_bytes, _pb_varint
+
+    trie: Dict = {}
+    for k in keys:
+        if not k.endswith(_ATTR_SUFFIX):
+            raise ValueError(f"unexpected checkpoint key layout: {k}")
+        node = trie
+        for part in k[: -len(_ATTR_SUFFIX)].split("/"):
+            node = node.setdefault(part, {})
+        node["__key__"] = k
+
+    nodes: List[Optional[Tuple[List[Tuple[int, str]],
+                               List[str]]]] = []
+
+    def build(t: Dict) -> int:
+        idx = len(nodes)
+        nodes.append(None)
+        attrs = [t["__key__"]] if "__key__" in t else []
+        children = []
+        for name in sorted(n for n in t if n != "__key__"):
+            children.append((build(t[name]), name))
+        nodes[idx] = (children, attrs)
+        return idx
+
+    build(trie)
+
+    out = bytearray()
+    for children, attrs in nodes:
+        obj = bytearray()
+        for node_id, local_name in children:
+            ref = (_pb_varint(1, node_id)
+                   + _pb_bytes(2, local_name.encode("utf-8")))
+            obj += _pb_bytes(1, ref)  # TrackableObject.children
+        for key in attrs:
+            st = (_pb_bytes(1, b"VARIABLE_VALUE")
+                  + _pb_bytes(3, key.encode("utf-8")))
+            obj += _pb_bytes(2, st)  # TrackableObject.attributes
+        out += _pb_bytes(1, bytes(obj))  # TrackableObjectGraph.nodes
+    return bytes(out)
+
+
 def export_reference_checkpoint(prefix: str, hp: HParams, params: Dict,
                                 batch_stats: Dict) -> None:
     """Write (params, batch_stats) as a TensorBundle in the reference's exact
-    model variable layout (model-only checkpoint, like the published ones)."""
+    model variable layout (model-only checkpoint, like the published ones),
+    including the trackable object graph so the reference's own
+    ``tf.train.Checkpoint(model=...).restore(prefix)`` loads it."""
     table = build_weight_map(hp)
     trees = {"params": params, "batch_stats": batch_stats}
     w = BundleWriter(prefix)
@@ -124,4 +186,9 @@ def export_reference_checkpoint(prefix: str, hp: HParams, params: Dict,
         if extra:
             raise ValueError(f"export: {coll} leaves not in the weight map: "
                              f"{sorted(extra)[:3]}")
+    counter_key = "save_counter" + _ATTR_SUFFIX
+    w.add(counter_key, np.asarray(1, np.int64))
+    w.add_strings("_CHECKPOINTABLE_OBJECT_GRAPH",
+                  [_object_graph_bytes(list(table) + [counter_key])],
+                  scalar=True)
     w.close()

@@ -64,8 +64,14 @@ def number_to_words(n: int, andword: str = "and") -> str:
 
 
 def ordinal_words(n: int) -> str:
-    """Ordinal wording of a non-negative integer: 1 -> "first", 23 -> "twenty-third"."""
-    card = number_to_words(n, andword="")
+    """Ordinal wording of a non-negative integer: 1 -> "first",
+    23 -> "twenty-third", 101 -> "one hundred and first".
+
+    Keeps inflect's default andword='and' because the reference's
+    _expand_ordinal (texts.py:116-117) calls number_to_words with defaults —
+    only the plain-number path passes andword='' — and corpora tokenized by
+    the reference carry that 'and'."""
+    card = number_to_words(n, andword="and")
     parts = card.rsplit(" ", 1)
     last = parts[-1]
     hy = last.rsplit("-", 1)
