@@ -45,8 +45,11 @@ class BahdanauAttention(nn.Module):
                        (self.attention_dim,))
         b = self.param("attention_b", nn.initializers.zeros,
                        (self.attention_dim,))
+        # fp32 energies/softmax regardless of compute dtype (repo
+        # convention, models/attention.py: near-tied logits collapse in bf16)
         energy = jnp.sum(
-            v * jnp.tanh(wq[:, :, None, :] + wk[:, None, :, :] + b),
+            (v * jnp.tanh(wq[:, :, None, :] + wk[:, None, :, :]
+                          + b)).astype(jnp.float32),
             axis=-1) / self.temperature  # [B, Tq, Tk]
         B, Tq, Tk = energy.shape
         mask = jnp.ones((B, Tq, Tk), bool)
@@ -79,13 +82,8 @@ class ConvLengthPredictor(nn.Module):
                        self.drop_rate, self.bn_before_act, dtype=self.dtype,
                        name=f"conv_{i}")(x, train=train)
         proj = nn.Dense(1, dtype=self.dtype, name="projection")(x)
-        proj = proj.astype(jnp.float32)
-        max_time = inputs.shape[1]
-        if input_lengths is not None:
-            m = sequence_mask(input_lengths, max_time, jnp.float32)[..., None]
-        else:
-            m = jnp.ones_like(proj)
-        return jnp.sum(jnp.exp(proj) * m, axis=(1, 2))
+        from .length_predictor import masked_exp_sum
+        return masked_exp_sum(proj, input_lengths)
 
 
 class HighwayLayer(nn.Module):
@@ -364,8 +362,9 @@ class DCNResidualBlock(nn.Module):
                     kernel_dilation=(self.dilation,), dtype=self.dtype,
                     name="dilated_conv2")(h)
         h = nn.Dropout(self.drop_rate, deterministic=not train)(nn.relu(h))
-        return nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                            name="batch_norm")(inputs + h)
+        return nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                            dtype=self.dtype,
+                            name="batch_norm")(inputs + h)  # keras eps
 
 
 class DCNModule(nn.Module):

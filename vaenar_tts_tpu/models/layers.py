@@ -107,14 +107,16 @@ class Conv1D(nn.Module):
 
 
 class ConvPreNet(nn.Module):
-    """N x Conv1D stack + linear projection (reference utils.py:21-38)."""
+    """N x Conv1D stack + linear projection (reference utils.py:21-38).
+    The class default bn_before_act=True matches the reference's; the active
+    configs pass False explicitly (reference hparams.py:72/83/105)."""
 
     nconv: int
     hidden: int
     conv_kernel: int
     drop_rate: float
     activation: str = "relu"
-    bn_before_act: bool = False
+    bn_before_act: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
