@@ -242,8 +242,8 @@ class TestUtils:
         plt = _agg_matplotlib()
         paths = []
         n_heads = alignments.shape[1]
-        rows = max(1, n_heads // 2)
         cols = 2 if n_heads > 1 else 1
+        rows = -(-n_heads // cols)  # ceil: odd head counts get a full row
         for i in range(alignments.shape[0]):
             tl = int(text_lengths[i])
             ml = int(mel_lengths[i])

@@ -75,7 +75,10 @@ def inference_test(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(
         hp, args.model_dir, compute_dtype=args.compute_dtype)
-    tester = TestUtils(hp, args.test_dir)
+    # constructing with the vocoder dir fails FAST on a broken/mismatched
+    # vocoder — before the multi-minute model compile and synthesis pass
+    tester = TestUtils(hp, args.test_dir,
+                       neural_vocoder_dir=args.neural_vocoder)
     if args.draw_alignments:
         # alignments are not materialized on the fused attention path; swap
         # to the plots twin (identical params) when the user asks for them
@@ -97,13 +100,15 @@ def inference_test(args) -> None:
 
     # warm-up compile, once per distinct bucketed shape, so the RTF loop
     # times pure synthesis (generalizes reference inference.py:146-147,
-    # whose single-batch warm-up under-covers bucketed loaders)
-    seen_shapes = set()
+    # whose single-batch warm-up under-covers bucketed loaders). The census
+    # enumerates the shapes without assembling batches; the loop stops as
+    # soon as every shape is covered instead of packing the whole epoch
+    unseen = {tm for (tm, _mm) in loader.shape_census()}
     for batch in loader.epoch(0):
         key = batch.texts.shape[1]
-        if key in seen_shapes:
+        if key not in unseen:
             continue
-        seen_shapes.add(key)
+        unseen.discard(key)
         _, pred_w, _ = inf_step(
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
@@ -112,6 +117,8 @@ def inference_test(args) -> None:
         # the dispatch returns while the remote compile is still running,
         # and without this pull the first timed batch absorbs it
         np.asarray(pred_w)
+        if not unseen:
+            break
 
     time_consumed = 0.0
     durations = 0.0
@@ -226,7 +233,10 @@ def main(argv=None) -> None:
     parser.add_argument("--test_dir", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--temperature", type=float, default=0.0)
-    parser.add_argument("--write_mels", action="store_true", default=True)
+    parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="write trimmed mel .npy artifacts (default on; "
+                             "--no-write_mels disables)")
     parser.add_argument("--write_wavs", action="store_true", default=False)
     parser.add_argument("--draw_alignments", action="store_true",
                         default=False)
@@ -255,10 +265,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
     os.makedirs(args.test_dir, exist_ok=True)
     if args.text:
         synthesize_from_text(args)

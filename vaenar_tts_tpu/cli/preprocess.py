@@ -55,6 +55,9 @@ def main(argv=None) -> None:
                         help="extraction only (multi-host phase 1)")
     args = parser.parse_args(argv)
 
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache()  # --device_mels compiles the batched mel frontend
+
     hps = get_config(args.dataset)
     corpus = CORPORA[args.dataset](args.data_dir, args.save_dir, hps)
     corpus.feature_extraction(num_workers=args.num_workers,
@@ -65,6 +68,25 @@ def main(argv=None) -> None:
     if args.skip_records:
         print("Skipping record writing (--skip_records).")
         return
+    if args.worker_count > 1:
+        # record shards draw fids across ALL workers' mels: enforce the
+        # documented two-phase contract (phase 1 everywhere with
+        # --skip_records, then the record phase) instead of crashing on a
+        # peer's not-yet-extracted mel mid-write
+        import os as _os
+        missing = 0
+        for list_f in (corpus.train_list_f, corpus.dev_list_f,
+                       corpus.test_list_f):
+            with open(list_f) as f:
+                for fid in f.read().split():
+                    if not _os.path.isfile(
+                            _os.path.join(corpus.mel_dir, fid + ".npy")):
+                        missing += 1
+        if missing:
+            raise SystemExit(
+                f"{missing} mel files are not extracted yet (other workers "
+                f"still in phase 1?). Run phase 1 on every worker with "
+                f"--skip_records first, then re-run the record phase.")
     print("Writing sharded records...")
     writer = RecordWriter(args.save_dir, args.save_dir,
                           train_split=args.record_split,
@@ -74,8 +96,16 @@ def main(argv=None) -> None:
                              worker_count=args.worker_count)
     for mode, ps in paths.items():
         print(f"  {mode}: {len(ps)} shard(s)")
-    if args.worker_index != 0:
-        return  # smoke test reads all shards; only worker 0 sees them all
+    if args.worker_count > 1:
+        # the smoke test reads ALL train shards, but peers may still be
+        # writing theirs (disjoint slices, no barrier) — a concurrent read
+        # would see missing or in-flight shards. Verify with a single-worker
+        # invocation (idempotent) after all workers finish.
+        print(f"worker {args.worker_index}/{args.worker_count} done; "
+              f"skipping the cross-shard smoke test (peers may still be "
+              f"writing). Re-run without --worker_count after all workers "
+              f"finish to verify the full shard set.")
+        return
 
     # smoke test: one batch of shapes (reference preprocess.py:33-61)
     loader = BucketedLoader(list_shards(args.save_dir, "train"),

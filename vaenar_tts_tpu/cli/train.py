@@ -62,10 +62,10 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
+
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     dist = None
     if args.distributed:

@@ -49,10 +49,8 @@ def main(argv=None) -> None:
     if bool(args.toy) == bool(args.wav_dir):
         parser.error("exactly one of --toy / --wav_dir is required")
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/vaenar_tts_tpu_xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from ..utils.compile_cache import setup_compile_cache
+    setup_compile_cache()
 
     from ..configs import get_config
     from ..models.vocoder import VocoderConfig

@@ -86,7 +86,12 @@ def random_text(rng: np.random.Generator, min_letters: int = 8,
     while used < n:
         w = int(min(rng.integers(2, 6), n - used))
         if w == 1:
-            w = 2
+            # a 1-letter remainder would force a word outside the 2-5 range
+            # (and the old +1 bump overran max_letters); extend the previous
+            # word instead
+            words[-1] += str(rng.choice(list(LETTERS)))
+            used += 1
+            continue
         words.append("".join(rng.choice(list(LETTERS), w)))
         used += w
     return " ".join(words)

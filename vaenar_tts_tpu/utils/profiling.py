@@ -34,8 +34,14 @@ class RetraceMonitor:
         news = {}
         for k, f in self.fns.items():
             size = self._size(f)
-            if size > self._last.get(k, 0):
-                news[k] = size - self._last[k]
+            if size < 0:  # cache size unavailable for this fn: skip it
+                continue
+            # clamp the -1 'unavailable' sentinel out of the arithmetic so a
+            # fn whose cache size becomes readable later reports its true
+            # variant count, not an off-by-one
+            last = max(self._last.get(k, 0), 0)
+            if size > last:
+                news[k] = size - last
                 print(f"[retrace] {k} compiled {news[k]} new variant(s) "
                       f"({size} total){' at ' + where if where else ''}")
             self._last[k] = size
