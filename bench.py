@@ -40,8 +40,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/vaenar_xla")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from vaenar_tts_tpu.utils.compile_cache import setup_compile_cache
+setup_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
