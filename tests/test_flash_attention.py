@@ -163,3 +163,65 @@ def test_module_level_equivalence():
     out_pal, _ = blk_pal.apply(v, x, mem, qlen, mlen)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla),
                                atol=5e-5)
+
+
+class TestBlockedForward:
+    """The k-blocked online-softmax forward (Tk past the full-K/V VMEM
+    budget) must match the XLA reference and feed the blocked backward
+    through the same (m, s) stats contract."""
+
+    @pytest.fixture(autouse=True)
+    def small_threshold(self, monkeypatch):
+        import vaenar_tts_tpu.ops.flash_attention as fa
+        monkeypatch.setattr(fa, "FULL_KV_MAX_LENGTH", 64)
+
+    @pytest.mark.parametrize("tq,tk,causal", [
+        (128, 128, False),
+        (128, 128, True),
+        (64, 96, False),   # tk > threshold, bk=32 blocks
+        (120, 96, True),   # bucketed q, blocked k
+    ])
+    def test_values_match_xla(self, tq, tk, causal):
+        q, k, v, qlen, mlen = _inputs(tq, tk, seed=11)
+        scale = 1.0 / np.sqrt(D)
+        fused = masked_flash_attention(q, k, v, qlen, mlen, scale, causal)
+        mask = attention_mask(qlen, mlen, B, tq, tk, causal)
+        ref, _ = masked_attention_xla(q, k, v, mask, scale)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   atol=3e-5)
+
+    def test_fully_masked_rows_uniform(self):
+        """Rows past q_len attend uniformly (reference semantics) on the
+        blocked path too."""
+        q, k, v, _, _ = _inputs(128, 128, seed=5)
+        qlen = jnp.asarray([4, 8], jnp.int32)
+        mlen = jnp.asarray([128, 128], jnp.int32)
+        scale = 1.0 / np.sqrt(D)
+        fused = masked_flash_attention(q, k, v, qlen, mlen, scale, False)
+        uniform = jnp.mean(v, axis=2, keepdims=True)
+        np.testing.assert_allclose(np.asarray(fused[0, :, 10:12]),
+                                   np.tile(np.asarray(uniform[0]), (2, 1)),
+                                   atol=3e-5)
+
+    def test_gradients_match_xla(self):
+        q, k, v, qlen, mlen = _inputs(128, 128, seed=13)
+        scale = 1.0 / np.sqrt(D)
+
+        def loss(fn):
+            def f(q, k, v):
+                return jnp.sum(fn(q, k, v) ** 2)
+            return f
+
+        def fused_fn(q, k, v):
+            return masked_flash_attention(q, k, v, qlen, mlen, scale, True)
+
+        def ref_fn(q, k, v):
+            mask = attention_mask(qlen, mlen, B, 128, 128, True)
+            out, _ = masked_attention_xla(q, k, v, mask, scale)
+            return out
+
+        g_fused = jax.grad(loss(fused_fn), argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)

@@ -49,19 +49,18 @@ NEG = -2.0 ** 32 + 1.0
 # the measured 512..768 bracket.
 PALLAS_MIN_SCORE_ELEMENTS = 640 * 640
 
-# Upper bound for "auto": the forward kernel keeps the FULL [Tk, D] k/v plus
-# two [bq, Tk] fp32 temporaries resident in VMEM, which outgrows the ~16 MB
-# scoped budget somewhere past Tk=4096 at the shipped head dims. The kernel
-# is measured through 4096; beyond that "auto" routes to XLA (which compiles
-# via HBM) instead of failing Mosaic allocation at compile time. A k-blocked
-# online-softmax forward would lift this — revisit if a config needs it.
-PALLAS_MAX_KV_LENGTH = 4096
+# Up to this Tk the single-pass kernel keeps the FULL [Tk, D] k/v plus two
+# [bq, Tk] fp32 temporaries resident in VMEM (measured through 4096 at the
+# shipped head dims; ~16 MB scoped budget). Beyond it the k-blocked
+# online-softmax forward takes over (VMEM holds one [bq, bk] score block),
+# so sequence length is bounded by HBM, not VMEM, and "auto" has no upper
+# cutoff.
+FULL_KV_MAX_LENGTH = 4096
 
 
 def pallas_profitable(tq: int, tk: int) -> bool:
     """Static (trace-time) auto-selection rule for ``use_pallas='auto'``."""
-    return (tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
-            and tk <= PALLAS_MAX_KV_LENGTH)
+    return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
 
 
 def _block_size(t: int, cap: int = 256) -> int:
@@ -118,6 +117,107 @@ def _fwd_kernel(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref, m_ref, s_ref,
     s_ref[0, 0, :, 0] = s[:, 0]
 
 
+def _fwd_kernel_blocked(qlen_ref, mlen_ref, q_ref, k_ref, v_ref, o_ref,
+                        m_ref, s_ref, *, scale: float, causal: bool,
+                        bq: int, bk: int, n_k_blocks: int):
+    """Online-softmax forward. Grid: (batch, heads, q_blocks, k_blocks) with
+    the k loop innermost ("arbitrary"): o/m/s output blocks ignore ki in
+    their index maps, so Mosaic keeps them VMEM-resident and the kernel
+    accumulates across k blocks — VMEM holds only [bq,d] + [bk,d] tiles and
+    one [bq,bk] score block, so Tk is bounded by HBM, not the ~16 MB VMEM
+    budget that caps the full-K/V kernel at ~4096.
+
+    Masked-row semantics match the single-pass kernel exactly: the running
+    max initializes to NEG, so a fully-masked row accumulates
+    s = sum(exp(NEG-NEG)) = Tk and o = mean(v) — the reference's uniform
+    attention — and the saved (m, s) stats are the same global quantities
+    the blocked backward recomputes from."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
+
+    @pl.when(ki == 0)
+    def _init():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        m_ref[0, 0] = jnp.full_like(m_ref[0, 0], NEG)
+        s_ref[0, 0] = jnp.zeros_like(s_ref[0, 0])
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    q_len = qlen_ref[b]
+    m_len = mlen_ref[b]
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col_ids = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    mask = jnp.logical_and(row_ids < q_len, col_ids < m_len)
+    if causal:
+        mask = jnp.logical_and(mask, col_ids <= row_ids)
+    logits = jnp.where(mask, logits, NEG)
+
+    m_prev = m_ref[0, 0, :, 0]                      # [bq]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+    alpha = jnp.exp(m_prev - m_new)                 # [bq]
+    p = jnp.exp(logits - m_new[:, None])            # [bq, bk]
+    s_ref[0, 0, :, 0] = (s_ref[0, 0, :, 0] * alpha
+                         + jnp.sum(p, axis=-1))
+    o_ref[0, 0] = (o_ref[0, 0] * alpha[:, None]
+                   + jax.lax.dot_general(
+                       p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32))
+    m_ref[0, 0, :, 0] = m_new
+
+    @pl.when(ki == n_k_blocks - 1)
+    def _finalize():
+        o_ref[0, 0] = o_ref[0, 0] / s_ref[0, 0]
+
+
+def _pallas_forward_blocked(q, k, v, q_lengths, m_lengths, scale, causal,
+                            bq: int, bk: int):
+    """k-blocked forward; returns (o fp32, sm_m, sm_s)."""
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    n_q_blocks, n_k_blocks = Tq // bq, Tk // bk
+    kernel = functools.partial(_fwd_kernel_blocked, scale=scale,
+                               causal=causal, bq=bq, bk=bk,
+                               n_k_blocks=n_k_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, H, n_q_blocks, n_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        ],
+        out_specs=[
+            # index maps ignore j: the accumulators stay VMEM-resident
+            # across the inner k loop (fp32 accumulation; cast by caller)
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, bq, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+        ],
+    )
+    o, sm_m, sm_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tq * Tk * D * 2,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Tq * Tk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(q_lengths.astype(jnp.int32), m_lengths.astype(jnp.int32), q, k, v)
+    return o, sm_m, sm_s
+
+
 def _default_lengths(q_lengths, m_lengths, B, Tq, Tk):
     """Single source of the None-lengths materialization rule, shared by the
     primal and VJP paths so they cannot drift."""
@@ -141,6 +241,20 @@ def _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal,
     n_q_blocks = Tq // bq
 
     q_lengths, m_lengths = _default_lengths(q_lengths, m_lengths, B, Tq, Tk)
+
+    bk = _block_size(Tk)
+    if Tk > FULL_KV_MAX_LENGTH:
+        if bk == 0:  # ragged AND too big for full-resident K/V: cold XLA
+            out = _xla_reference(q, k, v, q_lengths, m_lengths, scale, causal)
+            if with_stats:
+                raise ValueError("ragged oversize Tk has no fused path")
+            return out
+        # past the VMEM budget for full-resident K/V: the k-blocked
+        # online-softmax forward (same (m, s) stats contract)
+        o32, sm_m, sm_s = _pallas_forward_blocked(
+            q, k, v, q_lengths, m_lengths, scale, causal, bq, bk)
+        o = o32.astype(q.dtype)
+        return (o, sm_m, sm_s) if with_stats else o
 
     kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal, bq=bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -379,7 +493,8 @@ def masked_flash_attention(q, k, v, q_lengths, m_lengths,
 
 def _fwd(q, k, v, q_lengths, m_lengths, scale, causal):
     B, Tq, Tk = q.shape[0], q.shape[2], k.shape[2]
-    if _block_size(Tq) == 0:
+    if _block_size(Tq) == 0 or (Tk > FULL_KV_MAX_LENGTH
+                                and _block_size(Tk) == 0):
         out = _pallas_forward(q, k, v, q_lengths, m_lengths, scale, causal)
         return out, (q, k, v, q_lengths, m_lengths, None, None, None)
     ql, ml = _default_lengths(q_lengths, m_lengths, B, Tq, Tk)
