@@ -151,3 +151,70 @@ class TestAlignmentProbe:
             assert a.ndim == 4, (k, a.shape)  # [B, H, Tq, Tk]
             assert a.shape[0] == B and a.shape[3] == T_TEXT, (k, a.shape)
             assert np.isfinite(a).all(), k
+
+
+class TestToyV2:
+    """Toy-v2 (ToySpecV2) must defeat the duration-counting shortcut that
+    made v1 too easy (VERDICT round 2): durations random per utterance,
+    coarticulated boundaries, pitch declination, noise floor."""
+
+    def test_duration_not_a_function_of_text(self):
+        from vaenar_tts_tpu.data.toy import synthesize_utterance_v2
+        hp = get_config("ljspeech")
+        text = "abc def gh"
+        lens = {len(synthesize_utterance_v2(
+            text, hp, np.random.default_rng(seed))) for seed in range(6)}
+        assert len(lens) > 1, "same text must give different durations"
+
+    def test_noise_floor_in_silence(self):
+        from vaenar_tts_tpu.data.toy import synthesize_utterance_v2
+        hp = get_config("ljspeech")
+        wav = synthesize_utterance_v2("a a", hp, np.random.default_rng(0))
+        # leading pad is silence + noise: nonzero but well below peak
+        head = wav[: hp.audio.frame_shift_sample // 2]
+        assert np.abs(head).max() > 0.0
+        assert np.abs(head).max() < 0.2 * np.abs(wav).max()
+
+    def test_pitch_declination(self):
+        """The SAME letter repeated: later instances have lower f0."""
+        from vaenar_tts_tpu.data.toy import ToySpecV2, synthesize_utterance_v2
+        hp = get_config("ljspeech")
+        spec = ToySpecV2(noise_db=-80.0,
+                         declination_semitones=(4.0, 4.0))
+        rng = np.random.default_rng(3)
+        wav = synthesize_utterance_v2(" ".join(["m"] * 16), hp, rng, spec)
+        sr = hp.audio.sample_rate
+        # dominant frequency in a quarter-second window near each end
+        def dom_freq(x):
+            spec_mag = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+            freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+            lo = freqs > 60
+            return freqs[lo][np.argmax(spec_mag[lo])]
+        n, w = len(wav), sr // 4
+        f_start = dom_freq(wav[n // 10: n // 10 + w])
+        f_end = dom_freq(wav[-n // 10 - w: -n // 10])
+        assert f_end < f_start * 0.93, (f_start, f_end)
+
+    def test_coarticulation_smears_boundaries(self):
+        """With coarticulation the amplitude envelope never jumps: the max
+        per-sample amplitude-envelope step is bounded."""
+        from vaenar_tts_tpu.data.toy import ToySpecV2, synthesize_utterance_v2
+        hp = get_config("ljspeech")
+        spec = ToySpecV2(noise_db=-120.0)
+        wav = synthesize_utterance_v2("a z a z", hp,
+                                      np.random.default_rng(1), spec)
+        env = np.abs(wav)
+        k = 64
+        env = np.convolve(env, np.ones(k) / k, mode="same")
+        assert np.abs(np.diff(env)).max() < 0.01
+
+    def test_generate_corpus_v2_end_to_end(self, tmp_path):
+        hp = get_config("ljspeech")
+        stats = generate_corpus(str(tmp_path), hp, n_train=6, n_dev=2,
+                                n_test=2, train_split=2, version=2)
+        assert stats["version"] == 2
+        shards = list_shards(str(tmp_path), "train")
+        loader = BucketedLoader(shards, 2, mel_bucket=120, text_bucket=32)
+        batch = next(iter(loader.epoch(0)))
+        assert batch.mels.shape[-1] == hp.audio.num_mels
+        assert np.isfinite(batch.mels).all()

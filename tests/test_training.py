@@ -183,3 +183,69 @@ class TestMultiSample:
         assert kl.shape == (B,)
         assert np.isfinite(np.asarray(mel_l2)).all()
         assert np.isfinite(np.asarray(kl)).all()
+
+
+class TestRemat:
+    """Activation checkpointing (TrainConfig.remat) must be a pure
+    memory/compute trade: identical param tree, identical loss, identical
+    gradients vs the unchecked model (same rng chain)."""
+
+    @pytest.mark.parametrize("mode", ["on", "dots"])
+    def test_remat_matches_no_remat(self, setup, mode):
+        import dataclasses
+        _, params, batch_stats, (texts, mels, t_lens, m_lens) = setup
+
+        def loss_and_grads(hp):
+            model = VAENAR(hp)
+            p, bs = init_model(hp, model, 0, T_TEXT, T_MEL)
+            # identical init across variants (remat does not change the tree)
+            assert jax.tree_util.tree_structure(p) == \
+                jax.tree_util.tree_structure(params)
+
+            def loss_fn(p):
+                outs, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    jnp.asarray(texts), jnp.asarray(mels),
+                    jnp.asarray(m_lens), jnp.asarray(t_lens),
+                    reduction_factor=2, train=True, reduce_loss=True,
+                    rngs={"dropout": jax.random.key(3),
+                          "sample": jax.random.key(4)},
+                    mutable=["batch_stats"])
+                _dec, mel_l2, kl, len_l2, _ = outs
+                return mel_l2 + 1e-3 * kl + len_l2
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        base_loss, base_grads = loss_and_grads(HP)
+        hp = HP.replace(train=dataclasses.replace(HP.train, remat=mode))
+        re_loss, re_grads = loss_and_grads(hp)
+        np.testing.assert_allclose(float(re_loss), float(base_loss),
+                                   rtol=1e-5)
+        flat_b = jax.tree_util.tree_leaves(base_grads)
+        flat_r = jax.tree_util.tree_leaves(re_grads)
+        for gb, gr in zip(flat_b, flat_r):
+            np.testing.assert_allclose(np.asarray(gr), np.asarray(gb),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_remat_train_step_runs(self, setup):
+        import dataclasses
+        _, _, _, (texts, mels, t_lens, m_lens) = setup
+        hp = HP.replace(train=dataclasses.replace(HP.train, remat="on"))
+        model = VAENAR(hp)
+        params, batch_stats = init_model(hp, model, 0, T_TEXT, T_MEL)
+        optimizer = make_optimizer(hp)
+        opt_state = optimizer.init(params)
+        step = make_train_step(hp, model, optimizer, donate=False)
+        _, _, _, m = step(params, batch_stats, opt_state,
+                          jnp.asarray(texts), jnp.asarray(mels),
+                          jnp.asarray(t_lens), jnp.asarray(m_lens),
+                          jnp.float32(1e-5), jax.random.key(0),
+                          reduction_factor=2)
+        for v in m.values():
+            assert np.isfinite(float(v))
+
+    def test_bad_remat_value_raises(self):
+        import dataclasses
+        from vaenar_tts_tpu.models.attention import maybe_remat
+        with pytest.raises(ValueError):
+            maybe_remat(VAENAR, "bogus")

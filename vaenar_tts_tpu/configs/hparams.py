@@ -55,6 +55,14 @@ class TrainConfig:
     # shapes are static, so selection is trace-time-only.
     use_pallas_attention: Any = "auto"
     compute_dtype: str = "bfloat16"  # transformer matmul dtype; flow stays fp32
+    # Activation checkpointing over every transformer block (encoder/decoder/
+    # posterior self+cross blocks and the flow couplings' conditioning nets):
+    # "off" keeps all activations live; "on" rematerializes each block in the
+    # backward (jax.checkpoint, nothing saved); "dots" saves matmul outputs
+    # and recomputes only elementwise ops (jax.checkpoint_policies
+    # .dots_saveable). Trades recompute FLOPs for HBM - the measured batch-
+    # scaling wall past batch 32 (README) is activation-memory bound.
+    remat: str = "off"
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
     # reference saves every epoch (train.py:304-306); raise when epochs are

@@ -35,6 +35,25 @@ Dtype = Any
 MASK_VALUE = -2.0 ** 32 + 1.0
 
 
+def maybe_remat(block_cls, remat):
+    """Optionally wrap a transformer-block module class in activation
+    checkpointing (lifted jax.checkpoint). ``remat``: "off" (identity),
+    "on" (save nothing, recompute the whole block in the backward), or
+    "dots" (save matmul outputs, recompute elementwise ops). The param tree
+    is unchanged, so trained checkpoints apply across settings."""
+    if remat in (False, None, "off"):
+        return block_cls
+    if remat in (True, "on", "full"):
+        policy = None  # jax.checkpoint default: nothing saveable
+    elif remat == "dots":
+        policy = jax.checkpoint_policies.dots_saveable
+    else:
+        raise ValueError(f"remat must be 'off', 'on' or 'dots'; got {remat!r}")
+    # prevent_cse=False is safe under jit (per jax.checkpoint docs) and lets
+    # XLA keep common subexpressions between the fwd and recompute passes
+    return nn.remat(block_cls, policy=policy, prevent_cse=False)
+
+
 def attention_mask(query_lengths: Optional[jnp.ndarray],
                    memory_lengths: Optional[jnp.ndarray],
                    batch: int, tq: int, tk: int,

@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import CrossAttentionBlock
+from .attention import CrossAttentionBlock, maybe_remat
 from .layers import PostNet
 
 Dtype = Any
@@ -37,6 +37,7 @@ class TransformerDecoder(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     @nn.compact
     def __call__(self, inputs, text_embd, z_lengths=None, text_lengths=None,
@@ -49,8 +50,9 @@ class TransformerDecoder(nn.Module):
         x = nn.Dense(self.attention_dim, dtype=self.dtype,
                      name="pre_projection")(inputs)
         alignments: Dict[str, jnp.ndarray] = {}
+        block_cls = maybe_remat(CrossAttentionBlock, self.remat)
         for i in range(self.nblk):
-            x, ali = CrossAttentionBlock(
+            x, ali = block_cls(
                 input_dim=self.attention_dim, attention_dim=self.attention_dim,
                 attention_heads=self.attention_heads,
                 attention_temperature=self.temperature,

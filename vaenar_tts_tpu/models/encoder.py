@@ -12,7 +12,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import SelfAttentionBlock
+from .attention import SelfAttentionBlock, maybe_remat
 from .layers import ConvPreNet, positional_encoding
 
 Dtype = Any
@@ -37,6 +37,7 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     @nn.compact
     def __call__(self, inputs, input_lengths=None, pos_step: float = 1.0,
@@ -54,8 +55,9 @@ class TransformerEncoder(nn.Module):
         pos = positional_encoding(max_time, dim, step=pos_step, dtype=self.dtype)
         x = prenet_outs + pos_weight * pos[None]
         x = nn.Dropout(self.pos_drop_rate, deterministic=not train)(x)
+        block_cls = maybe_remat(SelfAttentionBlock, self.remat)
         for i in range(self.nblk):
-            x, _ = SelfAttentionBlock(
+            x, _ = block_cls(
                 input_dim=self.pre_hidden, attention_dim=self.attention_dim,
                 attention_heads=self.attention_heads,
                 attention_temperature=self.attention_temperature,

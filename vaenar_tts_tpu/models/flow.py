@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import CrossAttentionBlock
+from .attention import CrossAttentionBlock, maybe_remat
 from .layers import positional_encoding, sequence_mask
 
 
@@ -138,6 +138,7 @@ class TransformerTransform(nn.Module):
     dtype: Any = jnp.float32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     @nn.compact
     def __call__(self, inputs, condition_inputs, condition_lengths=None,
@@ -148,8 +149,9 @@ class TransformerTransform(nn.Module):
         pos_weight = self.param("pos_weight", nn.initializers.ones, ())
         x = x + pos_weight * positional_encoding(max_time, dim,
                                                  dtype=self.dtype)[None]
+        block_cls = maybe_remat(CrossAttentionBlock, self.remat)
         for i in range(self.nblk):
-            x, _ = CrossAttentionBlock(
+            x, _ = block_cls(
                 input_dim=self.attention_dim,
                 attention_dim=self.attention_dim,
                 attention_heads=self.attention_heads,
@@ -183,6 +185,7 @@ class TransformerCoupling(nn.Module):
     dtype: Any = jnp.float32  # conditioning-net compute dtype; affine is fp32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     def setup(self):
         assert self.order in ("upper", "lower")
@@ -191,7 +194,8 @@ class TransformerCoupling(nn.Module):
             attention_heads=self.attention_heads, temperature=self.temperature,
             ffn_hidden=self.ffn_hidden, out_dim=self.channels // 2,
             use_pallas=self.use_pallas, dtype=self.dtype,
-            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis)
+            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+            remat=self.remat)
 
     def __call__(self, inputs, condition_inputs, inputs_lengths=None,
                  condition_lengths=None, reverse: bool = False,

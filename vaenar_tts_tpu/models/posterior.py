@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .attention import CrossAttentionBlock
+from .attention import CrossAttentionBlock, maybe_remat
 from .layers import PreNet, positional_encoding, sequence_mask
 
 Dtype = Any
@@ -84,6 +84,7 @@ class TransformerPosterior(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     @nn.compact
     def __call__(self, inputs, src_enc, src_lengths=None, target_lengths=None,
@@ -98,8 +99,9 @@ class TransformerPosterior(nn.Module):
         pos_weight = self.param("pos_weight", nn.initializers.ones, ())
         x = x + pos_weight * positional_encoding(max_time, dim, dtype=self.dtype)[None]
         x = nn.Dropout(self.pos_drop_rate, deterministic=not train)(x)
+        block_cls = maybe_remat(CrossAttentionBlock, self.remat)
         for i in range(self.nblk):
-            x, _ = CrossAttentionBlock(
+            x, _ = block_cls(
                 input_dim=self.pre_hidden, attention_dim=self.attention_dim,
                 attention_heads=self.attention_heads,
                 attention_temperature=self.temperature,

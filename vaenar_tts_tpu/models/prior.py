@@ -40,6 +40,7 @@ class TransformerPrior(nn.Module):
     dtype: Any = jnp.float32  # coupling-net compute dtype; flow math is fp32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    remat: Any = "off"
 
     def setup(self):
         actnorms, linears, couplings = [], [], []
@@ -55,7 +56,8 @@ class TransformerPrior(nn.Module):
                 temperature=self.temperature, ffn_hidden=self.ffn_hidden,
                 order=orders[i % 2], use_pallas=self.use_pallas,
                 dtype=self.dtype, ring_mesh=self.ring_mesh,
-                ring_axis=self.ring_axis, name=f"transformerCoupling{i}"))
+                ring_axis=self.ring_axis, remat=self.remat,
+                name=f"transformerCoupling{i}"))
         self.actnorms = actnorms
         self.linears = linears
         self.couplings = couplings

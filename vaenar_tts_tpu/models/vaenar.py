@@ -64,7 +64,8 @@ class VAENAR(nn.Module):
             if use_pallas.lower() not in mapping:
                 raise ValueError(f"use_pallas_attention={use_pallas!r}")
             use_pallas = mapping[use_pallas.lower()]
-        ring = dict(ring_mesh=self.seq_mesh, ring_axis=self.seq_axis)
+        ring = dict(ring_mesh=self.seq_mesh, ring_axis=self.seq_axis,
+                    remat=hp.train.remat)
         self.n_sample = hp.train.num_samples
         self.mel_text_len_ratio = hp.common.mel_text_len_ratio
         self.max_reduction_factor = hp.common.max_reduction_factor

@@ -44,14 +44,15 @@ class TrainState:
 
 
 def plots_variant(hp: HParams) -> HParams:
-    """Same architecture with the fused Pallas attention disabled, so
-    cross-attention alignments are materialized for plotting; the param tree
-    is identical, so trained params apply unchanged (fixes the silent
-    alignment-plot dropout when the fused path is on)."""
-    if hp.train.use_pallas_attention in (False, "off"):
+    """Same architecture with the fused Pallas attention disabled (so
+    cross-attention alignments are materialized for plotting) and remat off
+    (inference-only; sown intermediates must not sit under a checkpoint
+    boundary); the param tree is identical, so trained params apply unchanged
+    (fixes the silent alignment-plot dropout when the fused path is on)."""
+    if hp.train.use_pallas_attention in (False, "off") and hp.train.remat == "off":
         return hp
     return hp.replace(train=dataclasses.replace(
-        hp.train, use_pallas_attention=False))
+        hp.train, use_pallas_attention=False, remat="off"))
 
 
 def make_optimizer(hp: HParams) -> optax.GradientTransformation:
