@@ -36,10 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def tokenize_sentences(hp, sentences):
+def tokenize_sentences(hp, sentences, english=True):
     from vaenar_tts_tpu.text.tokenizer import CharTokenizer
     tok = CharTokenizer(hp.text)
-    ids = [tok.encode_english(s) for s in sentences]
+    ids = [tok.encode_english(s) if english else tok.encode(s)
+           for s in sentences]
     t_lens = np.array([len(i) for i in ids], np.int32)
     t_max = int(t_lens.max())
     texts = np.zeros((len(ids), t_max), np.int32)
@@ -48,16 +49,17 @@ def tokenize_sentences(hp, sentences):
     return texts, t_lens
 
 
-def run_reference(ref_dir, texts, t_lens, m_lens, mels, r, ckpt_prefix):
+def run_reference(ref_dir, texts, t_lens, m_lens, mels, r, ckpt_prefix,
+                  preset="ljspeech"):
     """Build + init the reference model, save ckpt, return stage outputs."""
     sys.path.insert(0, ref_dir)
     import tensorflow as tf
-    from configs.hparams import LJHPS
+    from configs.hparams import LJHPS, DataBakerHPS
     from models.models import VAENAR as RefVAENAR
 
     tf.random.set_seed(1234)
     np.random.seed(1234)
-    model = RefVAENAR(LJHPS)
+    model = RefVAENAR(LJHPS if preset == "ljspeech" else DataBakerHPS)
     texts_t = tf.constant(texts)
     t_lens_t = tf.constant(t_lens)
     m_lens_t = tf.constant(m_lens)
@@ -113,11 +115,125 @@ def run_reference(ref_dir, texts, t_lens, m_lens, mels, r, ckpt_prefix):
     # save AFTER all stages so every lazily-built Keras layer has variables
     ckpt = tf.train.Checkpoint(model=model)
     ckpt.write(ckpt_prefix)
-    return out
+    return out, model
+
+
+def reference_restore_and_recompute(model, prefix, texts, t_lens, m_lens, r):
+    """EXPORT direction: restore OUR exported TensorBundle into the live
+    reference model via its own tf.train.Checkpoint.restore, then recompute
+    the deterministic synthesis path (reference inference.py:125-143)."""
+    import tensorflow as tf
+    ckpt = tf.train.Checkpoint(model=model)
+    status = ckpt.restore(prefix)
+    status.expect_partial()
+    texts_t, t_lens_t = tf.constant(texts), tf.constant(t_lens)
+    m_lens_t = tf.constant(m_lens)
+    pos_step = model.mel_text_len_ratio / tf.cast(r, tf.float32)
+    text_embd = model.text_encoder(texts_t, t_lens_t, pos_step=pos_step,
+                                   training=False)
+    reduced_lens = (m_lens_t + r - 1) // r
+    z, _ = model.prior.sample(reduced_lens, text_embd, t_lens_t,
+                              temperature=0.0, training=False)
+    _, mel_out, _ = model.decoder(
+        inputs=z, text_embd=text_embd, z_lengths=reduced_lens,
+        text_lengths=t_lens_t, training=False, reduction_factor=r)
+    return {"text_embd": np.asarray(text_embd), "z": np.asarray(z),
+            "mel": np.asarray(mel_out)}
+
+
+def reference_grads(model, texts, t_lens, m_lens, mels, r, eps_np,
+                    kl_weight=1e-5):
+    """Train-step oracle on the reference side (train.py:127-137): loss
+    components + per-submodule gradient norms under tf.GradientTape, with
+    the posterior's reparameterization noise pinned to ``eps_np`` and
+    training=False (the dev-mode forward: no dropout, frozen BN stats — the
+    only deterministic basis for a cross-framework gradient comparison)."""
+    import tensorflow as tf
+    texts_t, t_lens_t = tf.constant(texts), tf.constant(t_lens)
+    m_lens_t, mels_t = tf.constant(m_lens), tf.constant(mels)
+    orig_normal = tf.random.normal
+    tf.random.normal = lambda shape, *a, **k: tf.constant(eps_np, tf.float32)
+    try:
+        with tf.GradientTape() as tape:
+            _pred, mel_l2, kl, len_l2, _ali = model(
+                texts_t, mels_t, m_lens_t, t_lens_t, reduction_factor=r,
+                training=False, reduce_loss=True)
+            loss = mel_l2 + kl_weight * tf.maximum(kl, 0.0) + 1.0 * len_l2
+        grads = tape.gradient(loss, model.trainable_variables)
+    finally:
+        tf.random.normal = orig_normal
+    by_id = {id(v): g for v, g in zip(model.trainable_variables, grads)}
+    groups = {"text_encoder": model.text_encoder, "decoder": model.decoder,
+              "posterior": model.posterior, "prior": model.prior,
+              "length_predictor": model.length_predictor}
+    norms = {}
+    for name, sub in groups.items():
+        sq = 0.0
+        for v in sub.trainable_variables:
+            g = by_id.get(id(v))
+            if g is not None:
+                sq += float(tf.reduce_sum(tf.square(g)))
+        norms[name] = sq ** 0.5
+    total = sum(float(tf.reduce_sum(tf.square(g)))
+                for g in grads if g is not None) ** 0.5
+    return {"loss": float(loss), "mel_l2": float(mel_l2), "kl": float(kl),
+            "len_l2": float(len_l2), "grad_norms": norms,
+            "grad_global_norm": total}
+
+
+def ours_grads(hp, params, batch_stats, texts, t_lens, m_lens, mels, r,
+               eps_np, kl_weight=1e-5):
+    """Our side of the train-step oracle: same pinned eps, same dev-mode
+    forward, jax.value_and_grad; per-top-module grad norms match the
+    reference grouping (params tree top level = submodule attribute)."""
+    import jax
+    import jax.numpy as jnp
+
+    import vaenar_tts_tpu.models.vaenar as vm
+    from vaenar_tts_tpu.models import VAENAR
+
+    model = VAENAR(hp)
+    eps_j = jnp.asarray(eps_np, jnp.float32)
+
+    def pinned_reparameterize(rng, mu, logvar, nsamples=1, random=True):
+        std = jnp.exp(0.5 * logvar)
+        samples = eps_j * std[:, None] + mu[:, None]
+        return samples, eps_j
+
+    orig = vm.reparameterize
+    vm.reparameterize = pinned_reparameterize
+    try:
+        def loss_fn(p):
+            outs = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                jnp.asarray(texts), jnp.asarray(mels), jnp.asarray(m_lens),
+                jnp.asarray(t_lens), reduction_factor=r, train=False,
+                reduce_loss=True, rngs={"sample": jax.random.key(0)})
+            _dec, mel_l2, kl, len_l2, _ali = outs
+            loss = mel_l2 + kl_weight * jnp.maximum(kl, 0.0) + 1.0 * len_l2
+            return loss, (mel_l2, kl, len_l2)
+
+        (loss, (mel_l2, kl, len_l2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+    finally:
+        vm.reparameterize = orig
+
+    def group_norm(tree):
+        return float(sum(
+            float(jnp.sum(jnp.square(g)))
+            for g in jax.tree_util.tree_leaves(tree))) ** 0.5
+
+    norms = {name: group_norm(grads[name]) for name in
+             ("text_encoder", "decoder", "posterior", "prior",
+              "length_predictor")}
+    total = group_norm(grads)
+    return {"loss": float(loss), "mel_l2": float(mel_l2), "kl": float(kl),
+            "len_l2": float(len_l2), "grad_norms": norms,
+            "grad_global_norm": total}
 
 
 def run_ours(ckpt_prefix, texts, t_lens, m_lens, mels, r,
-             compute_dtype="float32"):
+             compute_dtype="float32", preset="ljspeech"):
     import dataclasses
 
     import jax
@@ -128,13 +244,13 @@ def run_ours(ckpt_prefix, texts, t_lens, m_lens, mels, r,
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from vaenar_tts_tpu.configs.hparams import LJSpeechConfig
+    from vaenar_tts_tpu.configs import get_config
     from vaenar_tts_tpu.interop import load_reference_checkpoint
     from vaenar_tts_tpu.models import VAENAR
 
     # the reference oracle computes in fp32; the flagship preset's bf16
     # compute dtype would dominate the comparison with rounding noise
-    hp = LJSpeechConfig()
+    hp = get_config(preset)
     hp = hp.replace(train=dataclasses.replace(hp.train,
                                               compute_dtype=compute_dtype))
     params, batch_stats = load_reference_checkpoint(ckpt_prefix, hp)
@@ -187,7 +303,7 @@ def run_ours(ckpt_prefix, texts, t_lens, m_lens, mels, r,
         method=lambda m, zz, te, rl, tl: m.prior.log_probability(
             z=zz, condition_inputs=te, z_lengths=rl, condition_lengths=tl))
     out["prior_logprob_of_z"] = np.asarray(logp, np.float32)
-    return out
+    return out, hp, params, batch_stats
 
 
 def compare(ref, ours, m_lens, t_lens, r):
@@ -211,43 +327,107 @@ def compare(ref, ours, m_lens, t_lens, r):
     return rows
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reference", default="/root/reference")
-    ap.add_argument("--out", default=None,
-                    help="write a PARITY_MEASURED.md section to this path")
-    args = ap.parse_args()
-
-    from vaenar_tts_tpu.configs.hparams import LJSpeechConfig
-    hp = LJSpeechConfig()
-    sentences = [
+SENTENCES = {
+    "ljspeech": [
         "Printing, in the only sense with which we are at present concerned.",
         "The quick brown fox jumps over the lazy dog.",
         "In being comparatively modern.",
         "Scientists at the CERN laboratory say they have discovered a new particle.",
-    ]
-    texts, t_lens = tokenize_sentences(hp, sentences)
+    ],
+    # pinyin with tone digits + prosody separators, the DataBaker frontend's
+    # output alphabet (reference datasets.py:265-341, vocab hparams.py:378-382)
+    "databaker": [
+        "ka3 er3 pu3 pei2- wai4 sun1, wan2 hua2 ti1.",
+        "ni2 hao3 shi4 jie4.",
+        "zhe4 shi4 yi2 ge4- ce4 shi4 ju4 zi5.",
+        "bao2 ma3 pei4 gua4 bo3 luo2 an1.",
+    ],
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--preset", default="ljspeech",
+                    choices=("ljspeech", "databaker"))
+    ap.add_argument("--out", default=None,
+                    help="write a PARITY_MEASURED.md section to this path")
+    ap.add_argument("--skip_grads", action="store_true")
+    ap.add_argument("--skip_export", action="store_true")
+    args = ap.parse_args()
+
+    from vaenar_tts_tpu.configs import get_config
+    hp = get_config(args.preset)
+    texts, t_lens = tokenize_sentences(hp, SENTENCES[args.preset],
+                                       english=args.preset == "ljspeech")
     rng = np.random.default_rng(0)
     m_lens = np.array([96, 64, 40, 120], np.int32)
     r = hp.common.final_reduction_factor
     mels = (rng.standard_normal((4, 120, 80)) * 0.3 + 0.4).astype(np.float32)
 
+    lines = [f"preset: {args.preset}"]
+
     with tempfile.TemporaryDirectory() as td:
         prefix = os.path.join(td, "ref-oracle")
-        print("running reference oracle (TF)...")
-        ref = run_reference(args.reference, texts, t_lens, m_lens, mels, r,
-                            prefix)
+        print(f"running reference oracle (TF, {args.preset})...")
+        ref, ref_model = run_reference(args.reference, texts, t_lens, m_lens,
+                                       mels, r, prefix, preset=args.preset)
         print("running our model with imported weights (JAX)...")
-        ours = run_ours(prefix, texts, t_lens, m_lens, mels, r)
+        ours, our_hp, params, batch_stats = run_ours(
+            prefix, texts, t_lens, m_lens, mels, r, preset=args.preset)
 
-    rows = compare(ref, ours, m_lens, t_lens, r)
-    header = f"{'stage':26s} {'max|diff|':>12s} {'L1':>12s} {'rel-L1':>12s}"
-    print(header)
-    lines = [header]
-    for key, mx, l1, rel in rows:
-        line = f"{key:26s} {mx:>12s} {l1:>12s} {rel:>12s}"
-        print(line)
-        lines.append(line)
+        rows = compare(ref, ours, m_lens, t_lens, r)
+        header = f"{'stage':26s} {'max|diff|':>12s} {'L1':>12s} {'rel-L1':>12s}"
+        print(header)
+        lines.append(header)
+        for key, mx, l1, rel in rows:
+            line = f"{key:26s} {mx:>12s} {l1:>12s} {rel:>12s}"
+            print(line)
+            lines.append(line)
+
+        if not args.skip_export:
+            # EXPORT direction: our params -> TensorBundle -> the reference's
+            # own Checkpoint.restore -> recompute synthesis stages
+            from vaenar_tts_tpu.interop import export_reference_checkpoint
+            export_prefix = os.path.join(td, "our-export")
+            export_reference_checkpoint(export_prefix, our_hp, params,
+                                        batch_stats)
+            print("reference restoring OUR export and recomputing (TF)...")
+            re_out = reference_restore_and_recompute(
+                ref_model, export_prefix, texts, t_lens, m_lens, r)
+            lines.append("export direction (ref restores our TensorBundle):")
+            for key, a in re_out.items():
+                d = float(np.abs(a - ref[key]).max())
+                line = (f"  export/{key:20s} max|diff| vs ref-original "
+                        f"{d:.3e}")
+                print(line)
+                lines.append(line)
+
+        if not args.skip_grads:
+            print("gradient oracle (tf.GradientTape vs jax.grad)...")
+            latent = our_hp.common.latent_dim
+            eps_np = np.random.default_rng(7).standard_normal(
+                (4, 1, (120 + r - 1) // r, latent)).astype(np.float32)
+            g_ref = reference_grads(ref_model, texts, t_lens, m_lens, mels,
+                                    r, eps_np)
+            g_ours = ours_grads(our_hp, params, batch_stats, texts, t_lens,
+                                m_lens, mels, r, eps_np)
+            lines.append("train-step oracle (pinned eps, dev-mode forward):")
+            for k in ("loss", "mel_l2", "kl", "len_l2", "grad_global_norm"):
+                a, b = g_ref[k], g_ours[k]
+                rel = abs(a - b) / (abs(a) + 1e-12)
+                line = (f"  {k:18s} ref {a:+.6e}  ours {b:+.6e}  "
+                        f"rel {rel:.3e}")
+                print(line)
+                lines.append(line)
+            for mod in sorted(g_ref["grad_norms"]):
+                a = g_ref["grad_norms"][mod]
+                b = g_ours["grad_norms"][mod]
+                rel = abs(a - b) / (abs(a) + 1e-12)
+                line = (f"  grad|{mod:16s}| ref {a:.6e}  ours {b:.6e}  "
+                        f"rel {rel:.3e}")
+                print(line)
+                lines.append(line)
 
     if args.out:
         with open(args.out, "a") as f:

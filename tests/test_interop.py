@@ -443,3 +443,62 @@ class TestOracleParity:
         diff = np.abs(ref_mel.numpy() * mask - my_mel * mask)
         assert diff.max() < 5e-4, f"mel max|diff| {diff.max()}"
         assert diff.mean() < 5e-5, f"mel L1 {diff.mean()}"
+
+
+@needs_tf
+@needs_reference
+def test_gradient_oracle_tiny(tmp_path):
+    """Train-step oracle at tiny scale (the CI twin of
+    scripts/parity_vs_reference.py --preset ... gradient section): identical
+    imported weights + batch + PINNED reparameterization eps, dev-mode
+    forward; loss components and per-submodule grad norms from
+    tf.GradientTape must match jax.value_and_grad (reference
+    train.py:127-137)."""
+    os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+    import importlib.util
+
+    import tensorflow as tf
+
+    if not tf.keras.__name__.startswith("tf_keras"):
+        pytest.skip("legacy keras unavailable")
+    spec = importlib.util.spec_from_file_location(
+        "parity_vs_reference",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "parity_vs_reference.py"))
+    pvr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pvr)
+
+    TinyHPS, hp = _tiny_ref_hps()
+    from models.models import VAENAR as RefVAENAR
+
+    tf.random.set_seed(5)
+    np.random.seed(5)
+    model = RefVAENAR(TinyHPS)
+    rng = np.random.default_rng(3)
+    texts = rng.integers(1, hp.encoder.vocab_size, (2, 16)).astype(np.int32)
+    t_lens = np.array([12, 16], np.int32)
+    m_lens = np.array([40, 60], np.int32)
+    mels = (rng.standard_normal((2, 60, 80)) * 0.3).astype(np.float32)
+    r = 2
+    model.init(tf.constant(texts), tf.constant(m_lens), tf.constant(t_lens))
+    model(tf.constant(texts), tf.constant(mels), tf.constant(m_lens),
+          tf.constant(t_lens), reduction_factor=r, training=True,
+          reduce_loss=True)
+    prng = np.random.default_rng(11)
+    for v in model.trainable_variables:
+        v.assign(v + prng.normal(0.0, 0.05, v.shape).astype(np.float32))
+    prefix = str(tmp_path / "oracle")
+    tf.train.Checkpoint(model=model).write(prefix)
+
+    params, batch_stats = load_reference_checkpoint(prefix, hp)
+    eps = rng.standard_normal(
+        (2, 1, 30, hp.common.latent_dim)).astype(np.float32)
+    g_ref = pvr.reference_grads(model, texts, t_lens, m_lens, mels, r, eps)
+    g_ours = pvr.ours_grads(hp, params, batch_stats, texts, t_lens, m_lens,
+                            mels, r, eps)
+    for k in ("loss", "mel_l2", "kl", "len_l2", "grad_global_norm"):
+        assert g_ours[k] == pytest.approx(g_ref[k], rel=1e-4), (
+            k, g_ref[k], g_ours[k])
+    for mod, ref_n in g_ref["grad_norms"].items():
+        assert g_ours["grad_norms"][mod] == pytest.approx(ref_n, rel=1e-4), (
+            mod, ref_n, g_ours["grad_norms"])
