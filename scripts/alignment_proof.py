@@ -1,21 +1,33 @@
-"""Alignment-learning proof: train the full model on the procedural toy
-corpus (data/toy.py) and ASSERT that cross-attention learns a monotonic
-text<->time alignment (measured at every cross-attention site: decoder,
-posterior, flow couplings) and synthesis quality improves materially.
+"""Alignment-learning proof: train the SHIPPED configuration (LJ preset:
+latent 128, kl_weight 1e-5 — exactly what the reference trains,
+reference configs/hparams.py:236-248) on the speech-like toy-v2 corpus
+(data/toy.py ToySpecV2) and ASSERT that the *inference path* works: synthesis
+sampled from the flow prior (the product path, reference inference.py:138-142)
+aligns text to time through the decoder's cross-attention and lands within a
+small quality gap of teacher-forced (posterior-sample) synthesis.
 
-This is the no-real-corpus substitute for the reference's LJSpeech training
-evidence (reference train.py:182-204): the corpus has genuine text->audio
-structure (each letter is a distinct deterministic acoustic segment), so a
-model that learns it must have discovered the text<->time correspondence
-through cross-attention.
+History: round 2 proved alignment only at a shrunk latent (16) with a raised
+KL weight (1e-3) on the v1 corpus, because v1's deterministic per-letter
+durations let the posterior stuff the (spectrally trivial) toy mels into z
+wholesale — synthesis got accurate while attention stayed diffuse. Round 3
+keeps that run as a documented ablation (--ablation) and makes the headline
+the shipped config on toy-v2, whose random tempo, duration jitter,
+coarticulation, declination and noise floor remove every shortcut
+(VERDICT round 2, next-round item 1).
 
-Usage (real chip; ~20-60 min dominated by tunnel compiles):
+Usage (real chip; ~1.5-2.5 h dominated by tunnel compiles + 400 epochs):
 
-    python scripts/alignment_proof.py [--workdir /tmp/vaenar_toy]
-        [--epochs 300] [--fresh]
+    python scripts/alignment_proof.py [--workdir /tmp/vaenar_toy_v2]
+        [--epochs 400] [--fresh]
 
-Writes <workdir>/alignment_proof.json and ALIGNMENT.md at the repo root.
-Exits nonzero if diagonality or MCD-improvement thresholds are missed.
+Ablation reproducing the round-2 small-latent run on toy-v1:
+
+    python scripts/alignment_proof.py --ablation --corpus_version 1 \
+        --latent_dim 16 --kl_weight 1e-3 --workdir /tmp/vaenar_toy_v1
+
+Writes <workdir>/alignment_proof.json; the shipped run (not --ablation) also
+rewrites ALIGNMENT.md at the repo root. Exits nonzero if thresholds are
+missed.
 """
 
 from __future__ import annotations
@@ -37,21 +49,25 @@ setup_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
-DIAGONALITY_THRESHOLD = 0.80
+# inference-path decoder cross-attention must be monotonic (VERDICT r2 #1)
+INFER_DECODER_DIAGONALITY = 0.80
+# prior-sample quality within this of posterior-sample quality (DTW MCD, dB)
+PRIOR_POSTERIOR_GAP_DB = 2.0
 MCD_IMPROVEMENT_DB = 2.0  # trained must beat untrained by at least this
 
 
 def build_config(stats: dict, epochs: int, tiny: bool = False,
-                 latent_dim: int = 16, kl_weight: float = 1e-3):
-    """LJ architecture except: a SMALL latent and a real KL weight.
+                 latent_dim: int | None = None,
+                 kl_weight: float | None = None,
+                 kl_init: float | None = None,
+                 kl_anneal_epochs: int | None = None):
+    """The SHIPPED LJ architecture/loss by default.
 
-    With the full 128-dim latent the posterior can stuff the (spectrally
-    simple) toy mels into z wholesale and the decoder reconstructs without
-    ever consulting the text - synthesis gets accurate (MCD ~6 dB) while
-    cross-attention stays diffuse (measured in round 2). Shrinking z and
-    charging for it (KL weight 1e-3 instead of the reference's 1e-5) forces
-    the content to flow text->attention->decoder, which is exactly the
-    mechanism this proof must exercise (reference models/models.py:105-197).
+    ``latent_dim`` / ``kl_weight`` override the preset only for ablations
+    (e.g. the round-2 latent-16 / kl-1e-3 proof). ``kl_init`` +
+    ``kl_anneal_epochs`` enable the KL-annealing scaffolding (linear
+    kl_init -> preset end weight over the given epochs) if posterior
+    over-use recurs at the shipped weights.
     """
     from vaenar_tts_tpu.configs import get_config
 
@@ -66,47 +82,63 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
     stage = max(epochs // 5, 1)
     common = dataclasses.replace(
         hp.common, mel_text_len_ratio=round(stats["mel_text_len_ratio"], 2))
-    if not tiny:
+    if latent_dim is not None and not tiny:
         common = dataclasses.replace(common, latent_dim=latent_dim)
+    tr = dataclasses.replace(
+        hp.train, epochs=epochs, test_interval=max(epochs // 4, 1),
+        reduce_interval=(0, stage, 2 * stage, 3 * stage),
+        checkpoint_every_n_epochs=50)
+    if kl_weight is not None:
+        tr = dataclasses.replace(tr, kl_weight_init=kl_weight,
+                                 kl_weight_end=kl_weight)
+    if kl_init is not None:
+        tr = dataclasses.replace(
+            tr, kl_weight_init=kl_init,
+            kl_weight_increase_epoch=kl_anneal_epochs or max(epochs // 2, 1))
     hp = hp.replace(
         common=common,
         dataset=dataclasses.replace(hp.dataset, mel_bucket=mel_bucket,
                                     text_bucket=32),
-        train=dataclasses.replace(
-            hp.train, epochs=epochs, test_interval=max(epochs // 4, 1),
-            reduce_interval=(0, stage, 2 * stage, 3 * stage),
-            kl_weight_init=kl_weight, kl_weight_end=kl_weight,
-            checkpoint_every_n_epochs=50),
+        train=tr,
     )
     return hp
 
 
 def evaluate(hp, model, params, batch_stats, test_loader, r, seed=0):
-    """Synthesize the test batch; return diagonality + quality metrics.
+    """Synthesize the test batch along BOTH paths; return quality + alignment.
 
-    Diagonality is measured at EVERY cross-attention site (decoder blocks,
-    posterior blocks, flow-coupling transforms; ``make_alignment_probe``):
-    VAENAR learns the text<->time alignment implicitly wherever text is
-    attended (reference models/models.py:105-197), and with a strong latent
-    the burden can fall on p(z|text)'s couplings / q(z|mel,text) rather than
-    the decoder — the proof asserts the alignment exists SOMEWHERE in the
-    stack, and reports where.
+    * prior path: z ~ p(z|text) via the flow, decode (the product path);
+    * posterior path: z ~ q(z|mel,text), decode (teacher-forced ceiling).
+
+    Quality reports frame-wise MCD and DTW-MCD for each: the corpus draws
+    tempo/durations randomly per utterance, so a prior sample legitimately
+    picks its own timing and only the DTW variant compares like with like.
+
+    Diagonality is measured at EVERY cross-attention site
+    (``make_alignment_probe``), and the headline is the inference-path
+    decoder (``infer/decoder/*``): that is the attention the reference's
+    published alignment plots show going diagonal (reference
+    train.py:309-325) and the one synthesis actually uses.
     """
     from vaenar_tts_tpu.training.steps import make_alignment_probe
     from vaenar_tts_tpu.utils.metrics import batch_diagonality, batch_summary
 
     probe = make_alignment_probe(hp, model)
     batch = next(iter(test_loader.epoch(0)))
-    mels, sites = probe(
+    prior_mels, post_mels, sites = probe(
         params, batch_stats, jnp.asarray(batch.texts),
         jnp.asarray(batch.mels), jnp.asarray(batch.text_lengths),
         jnp.asarray(batch.mel_lengths), jax.random.key(seed),
         reduction_factor=r, max_mel_length=batch.mels.shape[1])
-    mels = np.asarray(mels, np.float32)
-    pairs = [(mels[i][: int(batch.mel_lengths[i])],
-              batch.mels[i][: int(batch.mel_lengths[i])])
-             for i in range(batch.n_valid)]
-    quality = batch_summary(pairs)
+
+    def pairs_of(mels):
+        mels = np.asarray(mels, np.float32)
+        return [(mels[i][: int(batch.mel_lengths[i])],
+                 batch.mels[i][: int(batch.mel_lengths[i])])
+                for i in range(batch.n_valid)]
+
+    prior_q = batch_summary(pairs_of(prior_mels), dtw=True)
+    post_q = batch_summary(pairs_of(post_mels), dtw=True)
 
     reduced_lens = [(int(m) + r - 1) // r for m in batch.mel_lengths]
     diag = {}
@@ -115,24 +147,46 @@ def evaluate(hp, model, params, batch_stats, test_loader, r, seed=0):
                                     batch.text_lengths, batch.n_valid)
     best = max((d["diagonality"] for d in diag.values()), default=-1.0)
     best_site = max(diag, key=lambda k: diag[k]["diagonality"], default=None)
-    dec_best = max((d["diagonality"] for k, d in diag.items()
-                    if "decoder" in k), default=-1.0)
-    return {"mcd_db": quality["mcd_db"], "mel_l1": quality["mel_l1"],
-            "diagonality_best_block": best, "best_site": best_site,
-            "diagonality_decoder_best": dec_best, "per_block": diag}
+    infer_dec = max((d["diagonality"] for k, d in diag.items()
+                     if k.startswith("infer/decoder")), default=-1.0)
+    post_dec = max((d["diagonality"] for k, d in diag.items()
+                    if k.startswith("post/decoder")), default=-1.0)
+    return {
+        "prior_mcd_db": prior_q["mcd_db"],
+        "prior_mcd_dtw_db": prior_q["mcd_dtw_db"],
+        "prior_mel_l1": prior_q["mel_l1"],
+        "posterior_mcd_db": post_q["mcd_db"],
+        "posterior_mcd_dtw_db": post_q["mcd_dtw_db"],
+        "posterior_mel_l1": post_q["mel_l1"],
+        "diagonality_infer_decoder": infer_dec,
+        "diagonality_post_decoder": post_dec,
+        "diagonality_best_block": best, "best_site": best_site,
+        "per_block": diag,
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/vaenar_toy")
-    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--workdir", default="/tmp/vaenar_toy_v2")
+    ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe workdir (corpus + checkpoints) first")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny architecture + corpus (CPU plumbing check; "
                          "does not assert thresholds)")
-    ap.add_argument("--latent_dim", type=int, default=16)
-    ap.add_argument("--kl_weight", type=float, default=1e-3)
+    ap.add_argument("--corpus_version", type=int, default=2, choices=(1, 2))
+    ap.add_argument("--latent_dim", type=int, default=None,
+                    help="override the preset latent (ablations only)")
+    ap.add_argument("--kl_weight", type=float, default=None,
+                    help="override the preset KL weight (ablations only)")
+    ap.add_argument("--kl_init", type=float, default=None,
+                    help="KL-annealing scaffold: start weight, linear to the "
+                         "preset end weight over --kl_anneal_epochs")
+    ap.add_argument("--kl_anneal_epochs", type=int, default=None)
+    ap.add_argument("--ablation", action="store_true",
+                    help="non-shipped config: assert the legacy thresholds "
+                         "(best-site diagonality + MCD improvement) and do "
+                         "NOT rewrite ALIGNMENT.md")
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; re-evaluate the latest checkpoint "
                          "in --workdir/ckpt (e.g. after extending the "
@@ -152,19 +206,30 @@ def main() -> int:
     data_dir = os.path.join(args.workdir, "records")
     stats_path = os.path.join(args.workdir, "corpus_stats.json")
     if not os.path.exists(stats_path):
-        print("generating toy corpus ...")
+        print(f"generating toy corpus v{args.corpus_version} ...")
         from vaenar_tts_tpu.configs import get_config
         counts = (dict(n_train=24, n_dev=4, n_test=4, train_split=2)
                   if args.tiny else {})
-        stats = generate_corpus(data_dir, get_config("ljspeech"), **counts)
+        stats = generate_corpus(data_dir, get_config("ljspeech"),
+                                version=args.corpus_version, **counts)
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     with open(stats_path) as f:
         stats = json.load(f)
+    if stats.get("version", 1) != args.corpus_version:
+        raise SystemExit(
+            f"workdir {args.workdir} holds a v{stats.get('version', 1)} "
+            f"corpus but --corpus_version={args.corpus_version}; use a "
+            f"different --workdir or --fresh")
     print("corpus stats:", stats)
 
     hp = build_config(stats, args.epochs, tiny=args.tiny,
-                      latent_dim=args.latent_dim, kl_weight=args.kl_weight)
+                      latent_dim=args.latent_dim, kl_weight=args.kl_weight,
+                      kl_init=args.kl_init,
+                      kl_anneal_epochs=args.kl_anneal_epochs)
+    print(f"config: latent {hp.common.latent_dim}, kl "
+          f"{hp.train.kl_weight_init} -> {hp.train.kl_weight_end} "
+          f"(anneal {hp.train.kl_weight_increase_epoch} ep)")
     model = VAENAR(hp)
     final_r = hp.train.reduction_factor_at(args.epochs - 1)
 
@@ -177,8 +242,9 @@ def main() -> int:
     params0, bs0 = init_model(hp, model, hp.train.random_seed,
                               hp.dataset.text_bucket, hp.dataset.mel_bucket)
     before = evaluate(hp, model, params0, bs0, test_loader, final_r)
-    print(f"untrained: mcd {before['mcd_db']:.2f} dB, "
-          f"diagonality {before['diagonality_best_block']:.3f}")
+    print(f"untrained: prior mcd {before['prior_mcd_db']:.2f} dB "
+          f"(dtw {before['prior_mcd_dtw_db']:.2f}), infer-decoder diag "
+          f"{before['diagonality_infer_decoder']:.3f}")
 
     if args.eval_only:
         from vaenar_tts_tpu.training.steps import make_optimizer
@@ -205,33 +271,56 @@ def main() -> int:
 
     after = evaluate(hp, model, trained_params, trained_bs, test_loader,
                      final_r)
-    print(f"trained:   mcd {after['mcd_db']:.2f} dB, "
-          f"diagonality {after['diagonality_best_block']:.3f}")
+    print(f"trained:   prior mcd {after['prior_mcd_db']:.2f} dB "
+          f"(dtw {after['prior_mcd_dtw_db']:.2f}), posterior dtw "
+          f"{after['posterior_mcd_dtw_db']:.2f}, infer-decoder diag "
+          f"{after['diagonality_infer_decoder']:.3f}")
 
     result = {
         "epochs": args.epochs,
-        "latent_dim": args.latent_dim,
-        "kl_weight": args.kl_weight,
+        "corpus_version": args.corpus_version,
+        "corpus": {k: stats[k] for k in ("n_train", "n_dev", "n_test")},
+        "latent_dim": hp.common.latent_dim,
+        "kl_weight_init": hp.train.kl_weight_init,
+        "kl_weight_end": hp.train.kl_weight_end,
+        "kl_anneal_epochs": hp.train.kl_weight_increase_epoch,
         "train_seconds": round(train_secs, 1),
         "device": jax.devices()[0].device_kind,
         "untrained": {k: v for k, v in before.items() if k != "per_block"},
         "trained": {k: v for k, v in after.items() if k != "per_block"},
         "trained_per_block": after["per_block"],
-        "thresholds": {"diagonality": DIAGONALITY_THRESHOLD,
-                       "mcd_improvement_db": MCD_IMPROVEMENT_DB},
+        "thresholds": {
+            "infer_decoder_diagonality": INFER_DECODER_DIAGONALITY,
+            "prior_posterior_gap_db": PRIOR_POSTERIOR_GAP_DB,
+            "mcd_improvement_db": MCD_IMPROVEMENT_DB},
     }
-    ok_diag = after["diagonality_best_block"] >= DIAGONALITY_THRESHOLD
-    ok_mcd = (before["mcd_db"] - after["mcd_db"]) >= MCD_IMPROVEMENT_DB
-    result["pass"] = bool(ok_diag and ok_mcd)
+    ok_improve = (before["prior_mcd_dtw_db"]
+                  - after["prior_mcd_dtw_db"]) >= MCD_IMPROVEMENT_DB
+    if args.ablation:
+        ok_diag = (after["diagonality_best_block"]
+                   >= INFER_DECODER_DIAGONALITY)
+        result["pass"] = bool(ok_diag and ok_improve)
+        checks = {"best_site_diag": ok_diag, "mcd_improvement": ok_improve}
+    else:
+        ok_diag = (after["diagonality_infer_decoder"]
+                   >= INFER_DECODER_DIAGONALITY)
+        ok_gap = (after["prior_mcd_dtw_db"]
+                  <= after["posterior_mcd_dtw_db"] + PRIOR_POSTERIOR_GAP_DB)
+        result["pass"] = bool(ok_diag and ok_gap and ok_improve)
+        checks = {"infer_decoder_diag": ok_diag,
+                  "prior_posterior_gap": ok_gap,
+                  "mcd_improvement": ok_improve}
+    result["checks"] = checks
     out = os.path.join(args.workdir, "alignment_proof.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps(result, indent=2))
-    print(f"wrote {out}; pass={result['pass']} "
-          f"(diagonality ok={ok_diag}, mcd ok={ok_mcd})")
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "trained_per_block"}, indent=2))
+    print(f"wrote {out}; pass={result['pass']} ({checks})")
     if args.tiny:  # plumbing check only: tiny model is not expected to align
         return 0
-    write_alignment_md(result)
+    if not args.ablation:
+        write_alignment_md(result)
     return 0 if result["pass"] else 1
 
 
@@ -243,48 +332,76 @@ def write_alignment_md(r: dict) -> None:
     blocks = "\n".join(
         f"| {k} | {v['diagonality']:.3f} | {v['focus']:.3f} |"
         for k, v in r["trained_per_block"].items())
+    anneal = (f"KL weight annealed {r['kl_weight_init']:g} -> "
+              f"{r['kl_weight_end']:g} over {r['kl_anneal_epochs']} epochs"
+              if r["kl_weight_init"] != r["kl_weight_end"]
+              else f"KL weight {r['kl_weight_end']:g} (constant)")
     with open(path, "w") as f:
         f.write(f"""# ALIGNMENT — measured attention-learning evidence
 
-`scripts/alignment_proof.py` trains the full LJ-architecture model (latent
-{r['latent_dim']}, kl_weight {r['kl_weight']}; see the script docstring for
-why the latent is shrunk for this proof) on the procedural toy corpus
-(`data/toy.py`: every letter is a distinct deterministic acoustic segment)
-and ASSERTS that cross-attention learns a monotonic text<->time alignment
-and synthesis quality improves — the quantitative version of the diagonal
-alignment plots the reference eyeballs during LJSpeech training (reference
-train.py:309-325).
+`scripts/alignment_proof.py` trains the **shipped configuration** — the LJ
+preset's full architecture, latent {r['latent_dim']}, {anneal} (the exact
+config the reference trains on LJSpeech, reference configs/hparams.py:236-248)
+— on the speech-like **toy-v2 corpus** (`data/toy.py::ToySpecV2`: per-utterance
+random tempo, per-letter duration jitter, coarticulated boundaries, pitch
+declination, noise floor — durations are NOT derivable from the text, so the
+alignment cannot be gamed positionally) and ASSERTS that the **inference
+path** works: synthesis sampled from the flow prior, the product path
+(reference inference.py:138-142).
 
-Diagonality is measured at EVERY cross-attention site: VAENAR learns
-alignment implicitly wherever text is attended (decoder p(mel|z,text),
-posterior q(z|mel,text), and the flow prior p(z|text)'s coupling
-transforms). The division of labor between those sites is free for the
-optimizer to choose; the assertion is that a strong monotonic alignment
-exists somewhere in the stack, and the per-site table reports where it
-settled.
+Asserted, all on prior-sample (NOT teacher-forced) synthesis:
+
+1. the decoder's cross-attention during prior-sample synthesis is monotonic
+   (diagonality >= {r['thresholds']['infer_decoder_diagonality']}) — the
+   quantitative version of the diagonal alignment plots the reference
+   eyeballs during training (reference train.py:309-325);
+2. prior-sample quality lands within
+   {r['thresholds']['prior_posterior_gap_db']} dB (DTW MCD) of
+   teacher-forced posterior-sample synthesis — the posterior path sees the
+   ground-truth mel, so it bounds what the decoder can do; closing the gap
+   is what "synthesis from text alone works" means;
+3. training improves prior-sample DTW-MCD by >=
+   {r['thresholds']['mcd_improvement_db']} dB over the untrained init.
+
+Quality uses DTW-aligned MCD alongside frame-wise MCD because the corpus
+draws tempo and durations randomly per utterance: a prior sample legitimately
+chooses its own timing, and only the DTW variant compares like with like.
 
 Run: {r['epochs']} epochs on {r['device']} ({r['train_seconds']:.0f} s train
-wall time), full reduction-factor curriculum.
+wall time), full reduction-factor curriculum, corpus
+{r['corpus']['n_train']} train / {r['corpus']['n_test']} test utterances.
 
 | Metric | untrained | trained |
 |---|---|---|
-| MCD (dB, vs ground-truth mels, prior-sample synthesis) | {u['mcd_db']:.2f} | **{t['mcd_db']:.2f}** |
-| mel L1 | {u['mel_l1']:.3f} | **{t['mel_l1']:.3f}** |
-| best-site diagonality (Pearson of attention-expected text position vs frame) | {u['diagonality_best_block']:.3f} | **{t['diagonality_best_block']:.3f}** |
+| prior-sample MCD-DTW (dB) | {u['prior_mcd_dtw_db']:.2f} | **{t['prior_mcd_dtw_db']:.2f}** |
+| prior-sample MCD (frame-wise, dB) | {u['prior_mcd_db']:.2f} | **{t['prior_mcd_db']:.2f}** |
+| posterior-sample MCD-DTW (dB, teacher-forced ceiling) | {u['posterior_mcd_dtw_db']:.2f} | **{t['posterior_mcd_dtw_db']:.2f}** |
+| inference-path decoder diagonality | {u['diagonality_infer_decoder']:.3f} | **{t['diagonality_infer_decoder']:.3f}** |
+| posterior-path decoder diagonality | {u['diagonality_post_decoder']:.3f} | **{t['diagonality_post_decoder']:.3f}** |
+| best-site diagonality (any cross-attention) | {u['diagonality_best_block']:.3f} | **{t['diagonality_best_block']:.3f}** |
 
-Best trained site: `{t.get('best_site')}`; best decoder-block diagonality
-{t.get('diagonality_decoder_best', -1):.3f}.
+Best trained site: `{t.get('best_site')}`. Prior-vs-posterior DTW-MCD gap:
+**{t['prior_mcd_dtw_db'] - t['posterior_mcd_dtw_db']:+.2f} dB**.
 
-Per cross-attention site (trained):
+Per cross-attention site (trained; `infer/` = prior-sample synthesis pass,
+`post/` = teacher-forced pass):
 
 | site | diagonality | focus (mean max weight/frame) |
 |---|---|---|
 {blocks}
 
-Thresholds asserted: best-site diagonality >=
-{r['thresholds']['diagonality']}, MCD improvement >=
-{r['thresholds']['mcd_improvement_db']} dB.
-**PASS = {r['pass']}.** Raw JSON: the run's workdir `alignment_proof.json`.
+**PASS = {r['pass']}** (checks: {r['checks']}). Raw JSON: the run's workdir
+`alignment_proof.json`.
+
+## Ablation: the round-2 small-latent proof (kept for the record)
+
+Round 2 ran this proof at latent 16 / KL 1e-3 on the v1 corpus (deterministic
+per-letter durations) because at the shipped latent the posterior stuffed the
+spectrally trivial v1 mels into z and attention stayed diffuse. That run
+reached best-site diagonality 0.990 but only 0.15-0.20 on the inference-path
+decoder — i.e. it proved the machinery optimizes, not that the shipped TTS
+works. Reproduce it with `--ablation --corpus_version 1 --latent_dim 16
+--kl_weight 1e-3`. The headline table above supersedes it.
 """)
     print(f"wrote {path}")
 

@@ -53,6 +53,38 @@ class TestMetrics:
         s = batch_summary([(a, a), (a, a + 0.1)])
         assert s["n"] == 2 and s["mel_l1"] == pytest.approx(0.05)
 
+    def test_mcd_dtw_timing_invariance(self):
+        from vaenar_tts_tpu.utils.metrics import mcd_dtw
+        rng = np.random.default_rng(2)
+        # two-segment "utterance": distinct spectra per segment
+        seg_a = np.tile(rng.standard_normal((1, 80)), (10, 1))
+        seg_b = np.tile(rng.standard_normal((1, 80)), (10, 1))
+        ref = np.concatenate([seg_a, seg_b])
+        # same content, different segment durations (time-warped)
+        warped = np.concatenate([seg_a[:4], seg_b[:16]])
+        assert mcd_dtw(ref, ref) == pytest.approx(0.0, abs=1e-9)
+        assert mcd_dtw(warped, ref) == pytest.approx(0.0, abs=1e-9)
+        # frame-wise MCD charges heavily for the same warp
+        assert mcd(warped, ref) > 5.0
+
+    def test_mcd_dtw_matches_mcd_when_aligned(self):
+        from vaenar_tts_tpu.utils.metrics import mcd_dtw
+        rng = np.random.default_rng(3)
+        a = rng.standard_normal((25, 80))
+        noisy = a + 0.01 * rng.standard_normal((25, 80))
+        # small perturbation: DTW path should stay (near-)diagonal, so the
+        # two metrics agree and DTW can only be <= frame-wise
+        d_dtw, d_fw = mcd_dtw(noisy, a), mcd(noisy, a)
+        assert d_dtw <= d_fw + 1e-9
+        assert d_dtw == pytest.approx(d_fw, rel=0.35)
+
+    def test_batch_summary_dtw_flag(self):
+        from vaenar_tts_tpu.utils.metrics import mcd_dtw  # noqa: F401
+        a = np.abs(np.random.default_rng(4).standard_normal((20, 80)))
+        s = batch_summary([(a, a)], dtw=True)
+        assert s["mcd_dtw_db"] == pytest.approx(0.0, abs=1e-9)
+        assert "mcd_dtw_db" not in batch_summary([(a, a)])
+
 
 class TestSerialize:
     def test_roundtrip(self, tmp_path):

@@ -137,9 +137,12 @@ class TestAlignmentProbe:
                            jnp.float32)
         t_lens = jnp.asarray([T_TEXT, T_TEXT - 4], jnp.int32)
         m_lens = jnp.asarray([T_MEL, T_MEL - 10], jnp.int32)
-        out_mels, sites = probe(params, bs, texts, mels, t_lens, m_lens,
-                                jax.random.key(0), reduction_factor=2,
-                                max_mel_length=T_MEL)
+        out_mels, post_mels, sites = probe(params, bs, texts, mels, t_lens,
+                                           m_lens, jax.random.key(0),
+                                           reduction_factor=2,
+                                           max_mel_length=T_MEL)
+        assert post_mels.shape == mels.shape
+        assert np.isfinite(np.asarray(post_mels)).all()
         keys = set(sites)
         assert any(k.startswith("infer/decoder/") for k in keys), keys
         assert any(k.startswith("post/decoder/") for k in keys), keys

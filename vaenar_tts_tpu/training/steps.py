@@ -173,9 +173,13 @@ def make_alignment_probe(hp: HParams, model: VAENAR) -> Callable:
     reference's eyeballed alignment plots (reference train.py:309-325).
 
     Returns fn(params, batch_stats, texts, mels, t_lens, m_lens, rng, ...)
-    -> (mels, {site_path: alignments}) where sites from the synthesis pass
-    (prior sample + decode) are prefixed "infer/" and sites from the
-    training-mode posterior pass are prefixed "post/".
+    -> (infer_mels, post_mels, {site_path: alignments}): ``infer_mels`` is
+    prior-sample synthesis (the product path, reference inference.py:138-142),
+    ``post_mels`` is the decode of z ~ q(z|mel,text) (teacher-forced, the
+    training path's reconstruction); sites from the synthesis pass are
+    prefixed "infer/" and sites from the posterior pass "post/". Comparing
+    the two MCDs isolates how much quality is lost crossing from posterior
+    to prior samples.
 
     The probe always runs the plots variant (fused attention off): on the
     fused path alignments are not materialized and the sow is skipped, which
@@ -194,7 +198,7 @@ def make_alignment_probe(hp: HParams, model: VAENAR) -> Callable:
             max_mel_length=max_mel_length, temperature=temperature,
             method=VAENAR.infer, rngs={"sample": rng},
             mutable=["intermediates"])
-        _, inter_post = model.apply(
+        post_outs, inter_post = model.apply(
             {"params": params, "batch_stats": batch_stats},
             texts, mels, m_lens, t_lens, reduction_factor=reduction_factor,
             train=False, reduce_loss=True, rngs={"sample": rng},
@@ -203,7 +207,7 @@ def make_alignment_probe(hp: HParams, model: VAENAR) -> Callable:
         for prefix, inter in (("infer", inter_inf), ("post", inter_post)):
             for path, vals in _flatten_sown(inter["intermediates"]):
                 sites[f"{prefix}/{path}"] = vals
-        return out_mels, sites
+        return out_mels, post_outs[0], sites
 
     return probe
 

@@ -38,6 +38,58 @@ def mcd(pred: np.ndarray, ref: np.ndarray, n_coeffs: int = 13) -> float:
     return float(np.mean(k * np.sqrt(np.sum((c_pred - c_ref) ** 2, axis=1))))
 
 
+def _cepstra(mel: np.ndarray, n_coeffs: int) -> np.ndarray:
+    from scipy.fftpack import dct
+    return dct(mel.astype(np.float64), type=2, axis=1,
+               norm="ortho")[:, 1:n_coeffs + 1]
+
+
+def mcd_dtw(pred: np.ndarray, ref: np.ndarray, n_coeffs: int = 13) -> float:
+    """MCD (dB) under a DTW alignment of the two cepstral sequences,
+    normalized by path length — the standard timing-invariant variant.
+
+    Plain frame-wise ``mcd`` penalizes timing differences: synthesis sampled
+    from the prior picks ITS OWN plausible per-segment durations (tempo and
+    duration are latent in the corpus/speech), so frame t of the synthesis
+    need not correspond to frame t of ground truth. DTW charges for spectral
+    mismatch along the best monotonic frame correspondence instead.
+    """
+    cp, cr = _cepstra(pred, n_coeffs), _cepstra(ref, n_coeffs)
+    k = 10.0 / np.log(10.0) * np.sqrt(2.0)
+    d = k * np.sqrt(((cp[:, None, :] - cr[None, :, :]) ** 2).sum(-1))
+    tp, tr = d.shape
+    inf = np.inf
+    cost = np.full((tp + 1, tr + 1), inf)
+    steps = np.zeros((tp + 1, tr + 1), np.int32)
+    cost[0, 0] = 0.0
+    choice = np.zeros((tp, tr), np.int8)
+    for i in range(1, tp + 1):
+        # vectorized over j: min of (diag, up); the left move needs the
+        # running row, so do one cumulative pass for it
+        prev = np.minimum(cost[i - 1, :-1], cost[i - 1, 1:])  # diag/up per j
+        row = np.empty(tr + 1)
+        row[0] = inf
+        for j in range(1, tr + 1):
+            best = min(prev[j - 1], row[j - 1])
+            row[j] = d[i - 1, j - 1] + best
+            choice[i - 1, j - 1] = (0 if best == cost[i - 1, j - 1] else
+                                    (1 if best == cost[i - 1, j] else 2))
+        cost[i] = row
+    # traceback for path length
+    i, j, n = tp, tr, 0
+    while i > 0 and j > 0:
+        n += 1
+        c = choice[i - 1, j - 1]
+        if c == 0:  # diagonal: consumed one frame of each
+            i, j = i - 1, j - 1
+        elif c == 1:  # up: came from the previous pred frame, same ref frame
+            i -= 1
+        else:  # left: same pred frame, previous ref frame
+            j -= 1
+    n += i + j
+    return float(cost[tp, tr] / max(n, 1))
+
+
 def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
                           ) -> Dict[str, float]:
     """Monotonic-alignment score for one utterance's cross-attention.
@@ -86,14 +138,19 @@ def batch_diagonality(ali_batch: np.ndarray, mel_lens: Sequence[int],
     }
 
 
-def batch_summary(pairs: Sequence[tuple]) -> Dict[str, float]:
-    """Aggregate (pred, ref) mel pairs into mean metrics."""
+def batch_summary(pairs: Sequence[tuple], dtw: bool = False
+                  ) -> Dict[str, float]:
+    """Aggregate (pred, ref) mel pairs into mean metrics. ``dtw=True`` adds
+    the timing-invariant ``mcd_dtw_db`` (O(T^2) per pair; off by default)."""
     l1s = [mel_l1(p, r) for p, r in pairs]
     l2s = [mel_l2(p, r) for p, r in pairs]
     mcds = [mcd(p, r) for p, r in pairs]
-    return {
+    out = {
         "mel_l1": float(np.mean(l1s)),
         "mel_l2": float(np.mean(l2s)),
         "mcd_db": float(np.mean(mcds)),
         "n": len(l1s),
     }
+    if dtw:
+        out["mcd_dtw_db"] = float(np.mean([mcd_dtw(p, r) for p, r in pairs]))
+    return out
