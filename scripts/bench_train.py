@@ -19,11 +19,17 @@ from vaenar_tts_tpu.training.steps import (init_model, make_optimizer,
                                            make_train_step)
 
 import argparse
+import dataclasses
 _a = argparse.ArgumentParser()
 _a.add_argument("--batch", type=int, default=32)
+_a.add_argument("--mel", type=int, default=720)
+_a.add_argument("--remat", default=None, choices=("off", "on", "dots"),
+                help="activation-checkpointing policy override (train.remat)")
 _ar = _a.parse_args()
-B, TT, TM, R = _ar.batch, 128, 720, 2
+B, TT, TM, R = _ar.batch, 128, _ar.mel, 2
 hp = get_config("ljspeech")
+if _ar.remat is not None:
+    hp = hp.replace(train=dataclasses.replace(hp.train, remat=_ar.remat))
 model = VAENAR(hp)
 params, bs = init_model(hp, model, 0, TT, TM)
 optimizer = make_optimizer(hp)

@@ -62,15 +62,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--mel", type=int, default=720)
+    ap.add_argument("--text", type=int, default=128)
+    ap.add_argument("--reduction", type=int, default=2)
+    ap.add_argument("--modes", nargs="*", default=["xla", "pallas"],
+                    choices=["xla", "pallas", "auto"])
+    ap.add_argument("--chain", type=int, nargs=2, default=[4, 30],
+                    metavar=("N_LO", "N_HI"),
+                    help="marginal-protocol chain lengths (drop for "
+                         "long-form shapes where 30 steps is minutes)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--remat", default=None, choices=("off", "on", "dots"))
     args = ap.parse_args()
     base = get_config("ljspeech")
-    for name, knob in (("xla", "off"), ("pallas", True)):
+    if args.remat is not None:
+        base = base.replace(train=dataclasses.replace(base.train,
+                                                      remat=args.remat))
+    knob_of = {"xla": "off", "pallas": True, "auto": "auto"}
+    for name in args.modes:
         hp = base.replace(train=dataclasses.replace(
-            base.train, use_pallas_attention=knob))
-        dt = measure(hp, args.batch, 128, args.mel, 2)
+            base.train, use_pallas_attention=knob_of[name]))
+        dt = measure(hp, args.batch, args.text, args.mel, args.reduction,
+                     lo=args.chain[0], hi=args.chain[1], reps=args.reps)
         print(f"{name:8s} {dt * 1e3:8.1f} ms/step  "
               f"{args.batch / dt:,.1f} utt/s  (batch {args.batch} "
-              f"x {args.mel} frames, fwd+bwd+Adam)")
+              f"x {args.mel} frames, r={args.reduction}, fwd+bwd+Adam)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,49 @@ class TestLoader:
         # sorted-by-length bucketing keeps distinct shapes low
         assert len(census) <= 6
 
+    def test_shape_schedule_matches_epoch(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, seed=9)
+        sched = loader.epoch_shape_schedule(2)
+        batches = list(loader.epoch(2))
+        assert len(sched) == len(batches)
+        for row, b in zip(sched, batches):
+            assert (int(row[0]), int(row[1])) == b.shape_key
+
+    def test_shape_schedule_pad_and_truncate(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, seed=9)
+        n = len(loader)
+        longer = loader.epoch_shape_schedule(0, n_steps=n + 3)
+        assert len(longer) == n + 3
+        assert np.all(longer[n:] == longer[n - 1])  # repeats the last row
+        shorter = loader.epoch_shape_schedule(0, n_steps=n - 1)
+        assert len(shorter) == n - 1
+
+    def test_scheduled_epoch_pads_to_schedule(self, shards):
+        loader = BucketedLoader(shards, batch_size=4, seed=9)
+        sched = loader.epoch_shape_schedule(1)
+        sched = sched + np.asarray([[32, 120]])  # pretend a peer needs more
+        batches = list(loader.epoch(1, shape_schedule=sched))
+        assert len(batches) == len(sched)
+        for row, b in zip(sched, batches):
+            assert b.shape_key == (int(row[0]), int(row[1]))
+            assert np.all(b.mels[0, b.mel_lengths[0]:] == 0)
+        # truncated schedule caps the iteration (lockstep step cap)
+        assert len(list(loader.epoch(1, shape_schedule=sched[:2]))) == 2
+
+    def test_repad_batch(self, shards):
+        from vaenar_tts_tpu.data.loader import repad_batch
+        loader = BucketedLoader(shards, batch_size=4, seed=9)
+        b = next(iter(loader.epoch(0)))
+        bigger = repad_batch(b, b.texts.shape[1] + 32, b.mels.shape[1] + 120)
+        assert bigger.shape_key == (b.texts.shape[1] + 32,
+                                    b.mels.shape[1] + 120)
+        assert np.array_equal(bigger.texts[:, :b.texts.shape[1]], b.texts)
+        assert np.array_equal(bigger.mels[:, :b.mels.shape[1]], b.mels)
+        assert np.array_equal(bigger.mel_lengths, b.mel_lengths)
+        smaller = repad_batch(b, 32, 120)
+        assert smaller.shape_key == (32, 120)
+        assert smaller.mel_lengths.max() <= 120  # clamped
+
 
 def test_pad_to_multiple():
     assert pad_to_multiple(1, 120) == 120

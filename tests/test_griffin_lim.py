@@ -44,6 +44,33 @@ class TestISTFT:
         np.testing.assert_allclose(y2, y, atol=1e-4)
 
 
+class TestOverlapAddVariants:
+    def test_concat_matches_sliceadd(self, cfg):
+        """The scatter-free concat overlap-add (device-fault workaround
+        candidate, VERDICT r2 #3) is numerically identical to the
+        dynamic-update-slice formulation."""
+        y = _tone(cfg)
+        n_fft, hop, win = (cfg.n_fft, cfg.frame_shift_sample,
+                           cfg.frame_length_sample)
+        yp = jnp.pad(jnp.asarray(np.stack([y, y * 0.3]))  # batch of 2
+                     , ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+        spec = _stft_ri(yp, n_fft, hop, win)
+        n_frames = spec.shape[-1]
+        a = _istft_ola(spec, n_fft, hop, win, n_frames, ola_mode="sliceadd")
+        b = _istft_ola(spec, n_fft, hop, win, n_frames, ola_mode="concat")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_griffin_lim_concat_mode(self, cfg):
+        ap = AudioProcessor(cfg)
+        y = _tone(cfg)
+        mag = jnp.asarray(np.abs(ap._stft(y)).T, jnp.float32)[None]
+        w1 = np.asarray(griffin_lim_jax(mag, cfg, jax.random.key(0),
+                                        n_iters=4))
+        w2 = np.asarray(griffin_lim_jax(mag, cfg, jax.random.key(0),
+                                        n_iters=4, ola_mode="concat"))
+        np.testing.assert_allclose(w1, w2, atol=1e-4)
+
+
 class TestGriffinLim:
     def test_spectral_convergence(self, cfg):
         ap = AudioProcessor(cfg)

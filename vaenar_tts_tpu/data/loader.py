@@ -45,6 +45,24 @@ class Batch:
         return (self.texts.shape[1], self.mels.shape[1])
 
 
+def repad_batch(batch: Batch, text_max: int, mel_max: int) -> Batch:
+    """Copy of ``batch`` at a different static shape (zero pad or crop),
+    lengths clamped to fit. Used for the multi-process dev lockstep: a
+    process whose dev slice ran dry re-feeds its last batch as an
+    n_valid=0 dummy, which must still match the step's scheduled shape."""
+    B = batch.texts.shape[0]
+    texts = np.zeros((B, text_max), batch.texts.dtype)
+    mels = np.zeros((B, mel_max, batch.mels.shape[2]), batch.mels.dtype)
+    ct, cm = min(text_max, batch.texts.shape[1]), min(mel_max,
+                                                      batch.mels.shape[1])
+    texts[:, :ct] = batch.texts[:, :ct]
+    mels[:, :cm] = batch.mels[:, :cm]
+    return Batch(batch.fids, texts, mels,
+                 np.minimum(batch.text_lengths, text_max).astype(np.int32),
+                 np.minimum(batch.mel_lengths, mel_max).astype(np.int32),
+                 batch.n_valid)
+
+
 class BucketedLoader:
     def __init__(self, shard_paths: Sequence[str], batch_size: int,
                  mel_bucket: int = 120, text_bucket: int = 32,
@@ -102,17 +120,22 @@ class BucketedLoader:
     def max_mel_len(self) -> int:
         return max((m for (m, _, _, _) in self._entries), default=0)
 
-    def _make_batch(self, idxs: Sequence[Tuple[int, int, int, int]]) -> Batch:
+    def _make_batch(self, idxs: Sequence[Tuple[int, int, int, int]],
+                    target_shape: Optional[Tuple[int, int]] = None) -> Batch:
         n_valid = len(idxs)
         entries = list(idxs)
         if self.pad_batch and n_valid < self.batch_size:
             entries = entries + [entries[-1]] * (self.batch_size - n_valid)
         need_t = max(t for (_, t, _, _) in entries)
         need_m = max(m for (m, _, _, _) in entries)
-        text_max = (self.fixed_text_max if self.fixed_text_max is not None
-                    else pad_to_multiple(need_t, self.text_bucket))
-        mel_max = (self.fixed_mel_max if self.fixed_mel_max is not None
-                   else pad_to_multiple(need_m, self.mel_bucket))
+        if target_shape is not None:
+            text_max, mel_max = int(target_shape[0]), int(target_shape[1])
+        else:
+            text_max = (self.fixed_text_max
+                        if self.fixed_text_max is not None
+                        else pad_to_multiple(need_t, self.text_bucket))
+            mel_max = (self.fixed_mel_max if self.fixed_mel_max is not None
+                       else pad_to_multiple(need_m, self.mel_bucket))
         if need_t > text_max or need_m > mel_max:
             # must precede packing: the native memcpy path has no bounds
             # check and would silently overflow rows on a stale fixed_* pin
@@ -177,10 +200,7 @@ class BucketedLoader:
                m_lens.ctypes.data_as(i32p))
         return True
 
-    def epoch(self, epoch_index: int = 0) -> Iterator[Batch]:
-        """Iterate one epoch; batch ORDER is shuffled with seed+epoch
-        (reference shuffles at batch level with a fixed seed,
-        tf_record_utils.py:139-140)."""
+    def _epoch_order(self, epoch_index: int) -> Tuple[list, np.ndarray]:
         groups = [self._entries[i:i + self.batch_size]
                   for i in range(0, len(self._entries), self.batch_size)]
         if self.drop_last and groups and len(groups[-1]) < self.batch_size:
@@ -188,9 +208,52 @@ class BucketedLoader:
         order = np.arange(len(groups))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch_index).shuffle(order)
-        order = order[self.shard_index::self.shard_count]
+        return groups, order[self.shard_index::self.shard_count]
+
+    def epoch(self, epoch_index: int = 0,
+              shape_schedule: Optional[np.ndarray] = None) -> Iterator[Batch]:
+        """Iterate one epoch; batch ORDER is shuffled with seed+epoch
+        (reference shuffles at batch level with a fixed seed,
+        tf_record_utils.py:139-140).
+
+        ``shape_schedule`` (int array [n_steps, 2] of (text_max, mel_max))
+        pins batch i to row i's static shape — the multi-process lockstep
+        bucket contract: every process pads step i to the same synced shape
+        (the element-wise max of the processes' natural shapes) instead of
+        the whole run padding to the global corpus max."""
+        groups, order = self._epoch_order(epoch_index)
+        for i, gi in enumerate(order):
+            target = None
+            if shape_schedule is not None:
+                if i >= len(shape_schedule):
+                    return  # schedule truncated (lockstep step cap)
+                target = (int(shape_schedule[i][0]), int(shape_schedule[i][1]))
+            yield self._make_batch(groups[gi], target_shape=target)
+
+    def epoch_shape_schedule(self, epoch_index: int = 0,
+                             n_steps: Optional[int] = None) -> np.ndarray:
+        """This process's natural static shapes for the epoch, in iteration
+        order: int64 [n, 2] rows of bucket-quantized (text_max, mel_max),
+        ignoring any fixed_* pins. ``n_steps`` pads by repeating the last row
+        (a process whose slice runs dry re-feeds its last batch) or
+        truncates, so every process returns equal-shaped arrays for the
+        element-wise-max allgather."""
+        groups, order = self._epoch_order(epoch_index)
+        shapes = []
         for gi in order:
-            yield self._make_batch(groups[gi])
+            g = groups[gi]
+            shapes.append((
+                pad_to_multiple(max(t for (_, t, _, _) in g),
+                                self.text_bucket),
+                pad_to_multiple(max(m for (m, _, _, _) in g),
+                                self.mel_bucket)))
+        if n_steps is not None:
+            if not shapes:
+                raise ValueError("empty epoch cannot satisfy a lockstep "
+                                 "schedule")
+            shapes = (shapes + [shapes[-1]] * (n_steps - len(shapes))
+                      )[:n_steps]
+        return np.asarray(shapes, np.int64).reshape(-1, 2)
 
     def __iter__(self) -> Iterator[Batch]:
         return self.epoch(0)

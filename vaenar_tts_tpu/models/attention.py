@@ -151,7 +151,7 @@ class MultiHeadAttention(nn.Module):
             use_fused = True
         elif self.use_pallas == "auto":
             from ..ops.flash_attention import pallas_profitable
-            use_fused = pallas_profitable(tq, tk)
+            use_fused = pallas_profitable(tq, tk, head_dim)
         elif self.use_pallas in (False, "off", None):
             use_fused = False
         else:

@@ -39,15 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -2.0 ** 32 + 1.0
 
-# Measured on-chip crossover (scripts/perf_ab_attn.py on v5e, B=16 H=4 D=64
-# bf16 causal, pull-synced marginal protocol — see the script docstring for
-# why per-call block_until_ready timings overstated XLA at long T): XLA wins
-# T<=512 (fwd 0.055 vs 0.096 ms), the flash kernel wins from T=768
-# (fwd 2.04x, fwd+bwd 1.39x) through T=1024 (2.43x/1.71x), T=2048
-# (2.86x/1.69x) and T=4096 (6.14x/2.92x; at H=8 D=128 the XLA backward there
-# does not even compile). Threshold = 640^2 score elements, the midpoint of
-# the measured 512..768 bracket.
-PALLAS_MIN_SCORE_ELEMENTS = 640 * 640
+# Measured on-chip crossovers (scripts/perf_ab_attn.py on v5e, B=16 bf16
+# causal, pull-synced marginal protocol — see the script docstring for why
+# per-call block_until_ready timings overstated XLA at long T), keyed by
+# head_dim: arithmetic intensity per score element scales with D, so the
+# profitability boundary moves with it.
+#   D=64 (H=4, the flagship): XLA wins T<=512 (fwd 0.055 vs 0.096 ms), the
+#   flash kernel wins from T=768 (fwd 2.04x, fwd+bwd 1.39x) through T=1024
+#   (2.43x/1.71x), T=2048 (2.86x/1.69x) and T=4096 (6.14x/2.92x). Threshold
+#   = 640^2 score elements, the midpoint of the measured 512..768 bracket.
+#   D=128 (H=8): sweep pending (scripts/perf_ab_attn.py --heads 8
+#   --head_dim 128); until it lands the nearest measured dim's threshold
+#   applies. Known fixed point: at T=4096 the XLA backward fails to compile
+#   at this geometry, so the kernel must engage well before that.
+PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM = {64: 640 * 640}
+PALLAS_MIN_SCORE_ELEMENTS = PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM[64]
 
 # Up to this Tk the single-pass kernel keeps the FULL [Tk, D] k/v plus two
 # [bq, Tk] fp32 temporaries resident in VMEM (measured through 4096 at the
@@ -58,9 +64,15 @@ PALLAS_MIN_SCORE_ELEMENTS = 640 * 640
 FULL_KV_MAX_LENGTH = 4096
 
 
-def pallas_profitable(tq: int, tk: int) -> bool:
-    """Static (trace-time) auto-selection rule for ``use_pallas='auto'``."""
-    return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS
+def pallas_profitable(tq: int, tk: int, head_dim: int = 64) -> bool:
+    """Static (trace-time) auto-selection rule for ``use_pallas='auto'``.
+
+    The threshold is per-head_dim (measured table above); an unmeasured
+    head_dim borrows the nearest measured one, which keeps the rule
+    conservative around the flagship geometries instead of extrapolating."""
+    nearest = min(PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM,
+                  key=lambda d: abs(d - head_dim))
+    return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM[nearest]
 
 
 def _block_size(t: int, cap: int = 256) -> int:
