@@ -5,7 +5,7 @@ Batch test-set synthesis with RTF accounting:
 
     python -m vaenar_tts_tpu.cli.inference --dataset ljspeech \
         --data_dir /path/features --model_dir /path/ckpt \
-        --test_dir /path/out --batch_size 16 --temperature 0. \
+        --test_dir /path/out --batch_size 16 --temperature 0.6 \
         [--write_mels] [--write_wavs] [--draw_alignments]
 
 Free-text synthesis:
@@ -232,7 +232,13 @@ def main(argv=None) -> None:
     parser.add_argument("--model_dir", type=str, required=True)
     parser.add_argument("--test_dir", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=1)
-    parser.add_argument("--temperature", type=float, default=0.0)
+    # DELIBERATE DEVIATION from the reference default of 0.0 (reference
+    # inference.py:24): temperature 0 feeds the decoder the zero-noise
+    # latent, which is degenerate — the decoder never sees a zero-variance
+    # z in training, and on a fully trained model its alignment collapses
+    # only there (measured: ALIGNMENT.md "Temperature"; any value >= 0.33
+    # restores it). 0.6 samples the prior the decoder was trained against.
+    parser.add_argument("--temperature", type=float, default=0.6)
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "
