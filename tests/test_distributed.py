@@ -59,23 +59,29 @@ def _free_port() -> int:
     return port
 
 
-def _spawn(workspace, port, pid, n_steps=2, max_epochs=1):  # inclusive: run epoch 1 only
+def _spawn(workspace, port, pid, n_steps=2, max_epochs=1, tag="",
+           nprocs=2, extra_overrides=(), stdout_path=None):
+    """``stdout_path``: write the trainer's output to a file instead of a
+    PIPE. REQUIRED whenever the caller does not drain the pipe promptly
+    (e.g. polls the filesystem before communicate()): a full 64 KB pipe
+    buffer blocks the trainer on print() and deadlocks the fleet."""
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORM_NAME": "cpu",
         "JAX_PLATFORMS": "cpu",
-        # one local device per process -> 2 global devices
+        # one local device per process -> nprocs global devices
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         "VAENAR_COORDINATOR": f"localhost:{port}",
-        "VAENAR_NUM_PROCESSES": "2",
+        "VAENAR_NUM_PROCESSES": str(nprocs),
         "VAENAR_PROCESS_ID": str(pid),
     })
+    ckpt = f"ckpt_{tag}" if tag else "ckpt"
     cmd = [sys.executable, "-m", "vaenar_tts_tpu.cli.train",
            "--dataset", "ljspeech",
            "--data_dir", str(workspace / "records"),
-           "--model_dir", str(workspace / "ckpt"),
-           "--log_dir", str(workspace / f"logs_p{pid}"),
-           "--test_dir", str(workspace / "test_arts"),
+           "--model_dir", str(workspace / ckpt),
+           "--log_dir", str(workspace / f"logs_{tag}p{pid}"),
+           "--test_dir", str(workspace / f"test_arts_{tag}"),
            "--max_epochs", str(max_epochs),
            "--steps_per_epoch", str(n_steps),
            "--log_every", "1",
@@ -83,8 +89,44 @@ def _spawn(workspace, port, pid, n_steps=2, max_epochs=1):  # inclusive: run epo
            # exercise the distributed test-artifact path (global synthesis,
            # collective fetch, process-0 writes) at epoch 1
            "--override", "train.test_interval=1"] + tiny_overrides()
+    for ov in extra_overrides:
+        cmd += ["--override", ov]
+    out = (open(stdout_path, "w") if stdout_path is not None
+           else subprocess.PIPE)
     return subprocess.Popen(cmd, cwd=REPO, env=env, text=True,
-                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                            stdout=out, stderr=subprocess.STDOUT)
+
+
+def _run_fleet(workspace, nprocs, max_epochs, tag, n_steps=2,
+               extra_overrides=()):
+    """Spawn an nprocs fleet, wait, assert all exit 0; return stdouts."""
+    port = _free_port()
+    procs = [_spawn(workspace, port, pid, n_steps=n_steps,
+                    max_epochs=max_epochs, tag=tag, nprocs=nprocs,
+                    extra_overrides=extra_overrides)
+             for pid in range(nprocs)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    return outs
+
+
+def _steps_by_epoch(out: str):
+    """Parse a training stdout into {epoch: [step-loss tuple, ...]}.
+    Compares the loss FIELDS only (STEP_RE groups), not the raw line —
+    the line also carries wall-clock step time, which legitimately differs
+    between runs."""
+    by_epoch, cur = {}, None
+    for line in out.splitlines():
+        m = re.match(r"Epoch (\d+): kl_weight", line)
+        if m:
+            cur = int(m.group(1))
+            by_epoch[cur] = []
+            continue
+        s = STEP_RE.search(line)
+        if cur is not None and s:
+            by_epoch[cur].append(s.groups())
+    return by_epoch
 
 
 def _reference_chain(workspace, hp, n_steps=2):
@@ -94,7 +136,7 @@ def _reference_chain(workspace, hp, n_steps=2):
     import jax
     import jax.numpy as jnp
 
-    from vaenar_tts_tpu.data.loader import BucketedLoader, pad_to_multiple
+    from vaenar_tts_tpu.data.loader import BucketedLoader
     from vaenar_tts_tpu.models import VAENAR
     from vaenar_tts_tpu.training.steps import (
         init_model, make_dev_step, make_optimizer, make_train_step,
@@ -109,15 +151,21 @@ def _reference_chain(workspace, hp, n_steps=2):
                               shuffle=hp.train.shuffle,
                               seed=hp.train.random_seed + i, drop_last=True)
                for i in range(2)]
-    t_max = pad_to_multiple(max(l.max_text_len for l in loaders),
-                            hp.dataset.text_bucket)
-    m_max = pad_to_multiple(max(l.max_mel_len for l in loaders),
-                            hp.dataset.mel_bucket)
-    for l in loaders:
-        l.fixed_text_max, l.fixed_mel_max = t_max, m_max
+    steps_cap = min(len(l) for l in loaders)
+
+    def train_sched(epoch):
+        # mirror of the loop's lockstep bucket schedule: element-wise max of
+        # the processes' natural bucket shapes (loop.py _train_schedule).
+        # BatchNorm statistics include padded frames (parity with the
+        # reference's TF BN), so the mirror must pad to the SAME shapes.
+        return np.maximum(
+            loaders[0].epoch_shape_schedule(epoch, n_steps=steps_cap),
+            loaders[1].epoch_shape_schedule(epoch, n_steps=steps_cap))
 
     def global_batches(epoch):
-        for b0, b1 in zip(loaders[0].epoch(epoch), loaders[1].epoch(epoch)):
+        s = train_sched(epoch)
+        for b0, b1 in zip(loaders[0].epoch(epoch, shape_schedule=s),
+                          loaders[1].epoch(epoch, shape_schedule=s)):
             yield tuple(np.concatenate([getattr(b0, k), getattr(b1, k)])
                         for k in ("texts", "mels", "text_lengths",
                                   "mel_lengths"))
@@ -143,7 +191,8 @@ def _reference_chain(workspace, hp, n_steps=2):
         jnp.float32(hp.train.kl_weight_init), sub,
         reduction_factor=hp.common.max_reduction_factor)
 
-    # epoch 1
+    # epoch 1 (the loop re-derives the RNG per epoch for resume determinism)
+    rng = jax.random.fold_in(jax.random.key(hp.train.random_seed), 1)
     kl_w = hp.train.kl_weight_at(1)
     r = hp.train.reduction_factor_at(1)
     step_losses = []
@@ -157,29 +206,33 @@ def _reference_chain(workspace, hp, n_steps=2):
         step_losses.append({k: float(v) for k, v in m.items()})
 
     # dev: mirror the distributed lockstep (proc p takes batches p, p+2, ...)
+    from vaenar_tts_tpu.data.loader import repad_batch
     dev_step = make_dev_step(hp, model)
     dev = BucketedLoader(list_shards(data_dir, "dev"), local_bs,
                          mel_bucket=hp.dataset.mel_bucket,
                          text_bucket=hp.dataset.text_bucket, shuffle=False,
                          seed=hp.train.random_seed)
-    dev.fixed_text_max = pad_to_multiple(dev.max_text_len,
-                                         hp.dataset.text_bucket)
-    dev.fixed_mel_max = pad_to_multiple(dev.max_mel_len,
-                                        hp.dataset.mel_bucket)
-    slices = [list(BucketedLoader(
+    n_groups = -(-dev.num_utterances // local_bs)
+    dev_steps = -(-n_groups // 2)
+    dev_loaders = [BucketedLoader(
         list_shards(data_dir, "dev"), local_bs,
         mel_bucket=hp.dataset.mel_bucket, text_bucket=hp.dataset.text_bucket,
         shuffle=False, seed=hp.train.random_seed, shard_index=p,
-        shard_count=2, fixed_text_max=dev.fixed_text_max,
-        fixed_mel_max=dev.fixed_mel_max).epoch(1)) for p in range(2)]
-    n_groups = -(-dev.num_utterances // local_bs)
-    dev_steps = -(-n_groups // 2)
+        shard_count=2) for p in range(2)]
+    dev_sched = np.maximum(
+        dev_loaders[0].epoch_shape_schedule(0, n_steps=dev_steps),
+        dev_loaders[1].epoch_shape_schedule(0, n_steps=dev_steps))
+    slices = [list(l.epoch(1, shape_schedule=dev_sched))
+              for l in dev_loaders]
     sums, n_utts = {}, 0
     for s in range(dev_steps):
         parts, vmasks, n_valid = [], [], 0
         for p in range(2):
-            b = slices[p][s] if s < len(slices[p]) else slices[p][-1]
-            nv = b.n_valid if s < len(slices[p]) else 0
+            if s < len(slices[p]):
+                b, nv = slices[p][s], slices[p][s].n_valid
+            else:
+                b, nv = repad_batch(slices[p][-1], int(dev_sched[s][0]),
+                                    int(dev_sched[s][1])), 0
             parts.append(b)
             vmasks.append((np.arange(b.texts.shape[0]) < nv
                            ).astype(np.float32))
@@ -218,6 +271,14 @@ def test_two_process_training_matches_single_process(workspace):
     steps1 = STEP_RE.findall(outs[1])
     assert steps0 and steps0 == steps1, (steps0, steps1)
 
+    # the lockstep bucket schedule engaged with >1 distinct static shape and
+    # measured padding savings vs pad-to-global-max (VERDICT r2 #6)
+    sched = re.search(r"lockstep bucket schedule \(epoch 0\): (\d+) distinct "
+                      r"shapes.*?= ([\d.]+)% of pad-to-global-max", outs[0])
+    assert sched, outs[0][-3000:]
+    assert int(sched.group(1)) >= 2, sched.group(0)
+    assert float(sched.group(2)) < 100.0, sched.group(0)
+
     # process 0's losses match the single-process global-batch mirror
     # (the subprocess config = ljspeech preset + tiny_overrides, i.e. exactly
     # tiny_test_config: global batch 2 -> local batch 1 per process)
@@ -243,6 +304,111 @@ def test_two_process_training_matches_single_process(workspace):
     ckpt_dir = workspace / "ckpt"
     saved = [e for e in os.listdir(ckpt_dir) if e.isdigit()]
     assert saved, list(os.listdir(ckpt_dir))
+
+
+def test_two_process_resume_matches_uninterrupted(workspace):
+    """Restart-and-resume CI (VERDICT r2 #5): a 2-process run stopped after
+    epoch 2 and restarted to epoch 3 logs BITWISE the same epoch-3 step
+    losses as an uninterrupted epochs-1..3 run (per-epoch RNG streams +
+    exact checkpoint roundtrip make resume deterministic)."""
+    full = _run_fleet(workspace, 2, 3, "full")
+    _run_fleet(workspace, 2, 2, "resume")
+    resumed = _run_fleet(workspace, 2, 3, "resume")
+    assert "Restored from epoch 2" in resumed[0], resumed[0][-3000:]
+    full_steps = _steps_by_epoch(full[0])
+    res_steps = _steps_by_epoch(resumed[0])
+    assert 3 in full_steps and 3 in res_steps
+    assert full_steps[3] and full_steps[3] == res_steps[3], (
+        full_steps[3], res_steps[3])
+    # the resumed run skipped epochs 1-2
+    assert 1 not in res_steps and 2 not in res_steps
+
+
+@pytest.fixture(scope="module")
+def workspace4(tmp_path_factory):
+    """Corpus for the 4-process test: 6 train shards over 4 processes
+    (uneven shard-sets 2/2/1/1 -> the lockstep step cap engages) and a dev
+    set NOT divisible by the process count (exercises the n_valid=0 dummy
+    re-feed + repad on the scheduled shape)."""
+    root = tmp_path_factory.mktemp("dist4")
+    make_corpus_dir(root, n=40, num_mels=80)
+    fids = [f"utt{i:04d}" for i in range(40)]
+    (root / "train.txt").write_text("\n".join(fids[:28]) + "\n")
+    (root / "dev.txt").write_text("\n".join(fids[28:35]) + "\n")
+    (root / "test.txt").write_text("\n".join(fids[35:]) + "\n")
+    RecordWriter(str(root), str(root / "records"), train_split=6,
+                 num_mels=80).write_all()
+    return root
+
+
+def test_four_process_uneven_shards(workspace4):
+    """4 processes owning uneven shard-sets train in lockstep: identical
+    global losses on every process, the step cap engages, and the uneven dev
+    split (7 groups over 4 processes) completes via the dummy re-feed."""
+    outs = _run_fleet(workspace4, 4, 1, "p4", n_steps=1,
+                      extra_overrides=("train.train_batch_size=4",
+                                       "train.test_batch_size=4"))
+    step_lists = [STEP_RE.findall(o) for o in outs]
+    assert step_lists[0], outs[0][-3000:]
+    assert all(s == step_lists[0] for s in step_lists[1:])
+    # uneven shard ownership means some process capped its local loader
+    assert any("lockstep cap:" in o for o in outs), outs[0][-2000:]
+    dev_lines = [DEV_RE.search(o) for o in outs]
+    assert all(dev_lines), "dev eval must complete on every process"
+    devs = [json.loads(m.group(1).replace("'", '"')) for m in dev_lines]
+    assert all(d == devs[0] for d in devs[1:])
+
+
+def test_two_process_sigterm_stops_at_epoch_boundary(workspace):
+    """Multi-process preemption CI (VERDICT r2 #5): SIGTERM delivered to all
+    processes mid-run stops the fleet at the SAME epoch boundary with a
+    checkpoint on disk, and a restart resumes from it."""
+    import signal
+    import time
+    port = _free_port()
+    logs = [workspace / f"sig_stdout_p{pid}.log" for pid in (0, 1)]
+    # stdout to FILES: this test polls the filesystem before draining
+    # output, and a full stdout PIPE would block the trainers on print()
+    procs = [_spawn(workspace, port, pid, max_epochs=30, tag="sig",
+                    stdout_path=str(logs[pid])) for pid in (0, 1)]
+    try:
+        # wait for any epoch>=1 checkpoint, then preempt the whole fleet
+        ckpt_dir = workspace / "ckpt_sig"
+
+        def saved_epochs():
+            if not ckpt_dir.exists():
+                return []
+            return [int(p.name) for p in ckpt_dir.iterdir()
+                    if p.is_dir() and p.name.isdigit() and int(p.name) >= 1]
+
+        deadline = time.time() + 900
+        while not saved_epochs():
+            assert time.time() < deadline, "no epoch>=1 checkpoint appeared"
+            for p in procs:
+                assert p.poll() is None, "trainer died before the checkpoint"
+            time.sleep(1.0)
+        for p in procs:
+            p.send_signal(signal.SIGTERM)
+        for p in procs:
+            p.communicate(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = [log.read_text() for log in logs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    stops = [re.search(r"stopping after epoch (\d+) \(preemption\)", o)
+             for o in outs]
+    assert all(stops), [o[-1500:] for o in outs]
+    epochs = {int(m.group(1)) for m in stops}
+    assert len(epochs) == 1, f"fleet stopped at different epochs: {epochs}"
+    stopped_at = epochs.pop()
+    assert (workspace / "ckpt_sig" / str(stopped_at)).exists()
+    # restart resumes from the preemption checkpoint and finishes cleanly
+    resumed = _run_fleet(workspace, 2, stopped_at + 1, "sig")
+    assert f"Restored from epoch {stopped_at}" in resumed[0], \
+        resumed[0][-3000:]
 
 
 def test_partition_shards_disjoint_and_total():

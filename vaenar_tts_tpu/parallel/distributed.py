@@ -144,6 +144,15 @@ class DistContext:
             np.asarray([value], np.int64))
         return int(np.max(all_vals))
 
+    def sync_elementwise_max(self, arr: np.ndarray) -> np.ndarray:
+        """Element-wise max of an identically-shaped host array across
+        processes. One small collective per call — the loop uses it once per
+        epoch to agree on the lockstep bucket schedule (VERDICT r2 #6), not
+        per step."""
+        gathered = multihost_utils.process_allgather(
+            np.ascontiguousarray(arr))
+        return np.max(gathered, axis=0)
+
     def allsum(self, values: np.ndarray) -> np.ndarray:
         """Sum a small host array across processes (dev-loss aggregation)."""
         gathered = multihost_utils.process_allgather(

