@@ -1,0 +1,120 @@
+"""Free-text CLI intelligibility check on the trained toy-v2 model.
+
+Drives the REAL user-facing CLI (``python -m vaenar_tts_tpu.cli.inference
+--text``, reference inference.py:14-81 ``synthesize_from_text``) with
+held-out toy-v2 texts against the alignment-proof checkpoint, then measures
+intelligibility by TRANSCRIPTION: toy-v2 letters are identifiable from the
+spectrum alone (chromatic-scale pitch + pitch-independent tilt,
+data/toy.py::ToySpecV2), so ``ToyLetterDecoder`` transcribes the synthesized
+mels back to letter strings and scores letter error rate against the input
+text — the machine-checkable stand-in for listening tests on the reference's
+LJSpeech samples (VERDICT r2, next-round item 1: "the free-text CLI
+synthesizing intelligible toy-v2 audio").
+
+The decoder's own floor is calibrated on PROCEDURAL renders of the same
+texts; the synthesis passes if its letters-only LER is within
+``--margin`` of that floor.
+
+Usage (chip, ~5 min dominated by the CLI's tunnel compile):
+
+    python scripts/freetext_toyv2_eval.py --workdir /tmp/vaenar_toy_v2
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/vaenar_toy_v2")
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=4242,
+                    help="held-out text seed (corpus generation used seed 0)")
+    ap.add_argument("--margin", type=float, default=0.10,
+                    help="allowed LER excess over the decoder's floor on "
+                         "procedural renders of the same texts")
+    ap.add_argument("--skip_cli", action="store_true",
+                    help="reuse mels already written to <workdir>/freetext")
+    args = ap.parse_args()
+
+    from vaenar_tts_tpu.audio.dsp import AudioProcessor
+    from vaenar_tts_tpu.configs import get_config
+    from vaenar_tts_tpu.data.toy import (ToyLetterDecoder, letter_error_rate,
+                                         random_text, synthesize_utterance_v2)
+
+    hp = get_config("ljspeech")
+    ap_dsp = AudioProcessor(hp.audio)
+    rng = np.random.default_rng(args.seed)
+    texts = [random_text(rng) for _ in range(args.n)]
+
+    out_dir = os.path.join(args.workdir, "freetext")
+    os.makedirs(out_dir, exist_ok=True)
+    lines_path = os.path.join(out_dir, "lines.txt")
+    with open(lines_path, "w") as f:
+        f.write("\n".join(texts) + "\n")
+
+    if not args.skip_cli:
+        # the real CLI, letter for letter what a user runs
+        cmd = [sys.executable, "-m", "vaenar_tts_tpu.cli.inference",
+               "--dataset", "ljspeech", "--text", lines_path,
+               "--model_dir", os.path.join(args.workdir, "ckpt"),
+               "--test_dir", out_dir, "--write_mels"]
+        print("running:", " ".join(cmd), flush=True)
+        subprocess.run(cmd, cwd=REPO, check=True)
+
+    mel_paths = sorted(glob.glob(os.path.join(out_dir, "test-*-*.npy")),
+                       key=lambda p: int(p.rsplit("-", 1)[1][:-4]))
+    assert len(mel_paths) == len(texts), (mel_paths, texts)
+    synth_mels = [np.load(p) for p in mel_paths]
+
+    dec = ToyLetterDecoder(hp)
+    render_rng = np.random.default_rng(args.seed + 1)
+
+    def letters_ler(hyp: str, ref: str) -> float:
+        return letter_error_rate(hyp.replace(" ", ""), ref.replace(" ", ""))
+
+    rows, synth_lers, floor_lers = [], [], []
+    for text, mel in zip(texts, synth_mels):
+        hyp = dec.decode(mel)
+        ler = letters_ler(hyp, text)
+        # decoder floor: a procedural render of the same text
+        ren = ap_dsp.melspectrogram(
+            synthesize_utterance_v2(text, hp, render_rng)).T
+        floor = letters_ler(dec.decode(ren), text)
+        synth_lers.append(ler)
+        floor_lers.append(floor)
+        rows.append({"text": text, "transcript": hyp,
+                     "ler": round(ler, 3), "render_floor_ler": round(floor, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    mean_ler = float(np.mean(synth_lers))
+    mean_floor = float(np.mean(floor_lers))
+    result = {
+        "n_texts": len(texts),
+        "synthesis_ler": round(mean_ler, 3),
+        "decoder_floor_ler": round(mean_floor, 3),
+        "margin": args.margin,
+        "pass": bool(mean_ler <= mean_floor + args.margin),
+        "rows": rows,
+    }
+    out = os.path.join(args.workdir, "freetext_eval.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items() if k != "rows"}))
+    print(f"wrote {out}")
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -221,3 +221,34 @@ class TestToyV2:
         batch = next(iter(loader.epoch(0)))
         assert batch.mels.shape[-1] == hp.audio.num_mels
         assert np.isfinite(batch.mels).all()
+
+
+class TestToyLetterDecoder:
+    """The transcription decoder (the free-text intelligibility metric,
+    scripts/freetext_toyv2_eval.py) must read toy-v2 renders back with a low
+    letter error rate — this pins its calibrated floor."""
+
+    def test_clean_render_transcription(self):
+        from vaenar_tts_tpu.audio.dsp import AudioProcessor
+        from vaenar_tts_tpu.data.toy import (ToyLetterDecoder,
+                                             letter_error_rate, random_text,
+                                             synthesize_utterance_v2)
+        hp = get_config("ljspeech")
+        dec = ToyLetterDecoder(hp)
+        ap = AudioProcessor(hp.audio)
+        rng = np.random.default_rng(321)
+        lers = []
+        for _ in range(4):
+            text = random_text(rng)
+            mel = ap.melspectrogram(synthesize_utterance_v2(text, hp, rng)).T
+            hyp = dec.decode(mel)
+            lers.append(letter_error_rate(hyp.replace(" ", ""),
+                                          text.replace(" ", "")))
+        assert float(np.mean(lers)) <= 0.15, lers
+
+    def test_letter_error_rate(self):
+        from vaenar_tts_tpu.data.toy import letter_error_rate
+        assert letter_error_rate("abc", "abc") == 0.0
+        assert letter_error_rate("axc", "abc") == pytest.approx(1 / 3)
+        assert letter_error_rate("", "ab") == 1.0
+        assert letter_error_rate("ab", "") == 1.0

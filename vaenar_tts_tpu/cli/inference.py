@@ -112,7 +112,8 @@ def inference_test(args) -> None:
         _, pred_w, _ = inf_step(
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
-            max_mel_length=max_mel, temperature=args.temperature)
+            max_mel_length=max_mel, temperature=args.temperature,
+            length_headroom=args.length_headroom)
         # force the compile to FINISH here: on async backends (the tunnel)
         # the dispatch returns while the remote compile is still running,
         # and without this pull the first timed batch absorbs it
@@ -127,7 +128,8 @@ def inference_test(args) -> None:
         mels, pred_lens, ali = inf_step(
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
-            max_mel_length=max_mel, temperature=args.temperature)
+            max_mel_length=max_mel, temperature=args.temperature,
+            length_headroom=args.length_headroom)
         # sync on the [B]-int32 lengths pull: block_until_ready returns
         # before execution completes on tunnel-attached devices, and a
         # same-program output pull is the cheapest true barrier. RTF still
@@ -210,9 +212,12 @@ def synthesize_from_text(args) -> None:
         params, batch_stats, jnp.asarray(batch),
         jnp.asarray(np.asarray(text_lens, np.int32)), jax.random.key(0),
         reduction_factor=r, max_mel_length=max_mel,
-        temperature=args.temperature)
+        temperature=args.temperature,
+        length_headroom=args.length_headroom)
     mels = np.asarray(mels, np.float32)
     pred_lens = np.asarray(pred_lens)
+    if args.write_mels:
+        tester.write_mels(epoch, mels, pred_lens, ids, prefix="test")
     tester.synthesize_and_save_wavs(epoch, mels, pred_lens, ids, prefix="test")
     for k, a in ali.items():
         if a is None:
@@ -239,6 +244,13 @@ def main(argv=None) -> None:
     # only there (measured: ALIGNMENT.md "Temperature"; any value >= 0.33
     # restores it). 0.6 samples the prior the decoder was trained against.
     parser.add_argument("--temperature", type=float, default=0.6)
+    # DELIBERATE DEVIATION from the reference's hard-coded +80 (reference
+    # inference.py:136): a NAR attention decoder renders the whole text
+    # within whatever z-length it gets, so headroom never rescues content —
+    # it only appends junk frames the prior never trained to produce
+    # (measured: PARITY.md deviation 13). --length_headroom 80 restores
+    # exact reference behavior.
+    parser.add_argument("--length_headroom", type=int, default=0)
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "

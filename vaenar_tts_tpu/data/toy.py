@@ -278,3 +278,161 @@ def generate_corpus(save_dir: str, hp: HParams, n_train: int = 960,
         "max_text_len": int(max_text),
         "max_mel_len": int(max_mel),
     }
+
+
+class ToyLetterDecoder:
+    """Transcription decoder for toy-v2 audio: mel -> letter string.
+
+    The objective intelligibility metric for free-text synthesis (the
+    machine-checkable stand-in for listening tests on the reference's
+    LJSpeech samples): every toy-v2 letter is identifiable from a single
+    frame's spectrum — its pitch-class on the chromatic scale AND its
+    pitch-independent spectral tilt (ToySpecV2.harmonic_decay) — so a mel
+    produced from text can be transcribed back and scored with letter error
+    rate (``letter_error_rate``).
+
+    Method: render every (letter, declination-shift) pair as a stationary
+    harmonic stack through the SAME AudioProcessor mel frontend the corpus
+    uses, plus the bare noise floor as a dedicated SILENCE class, then
+    classify each frame by correlation (per-frame mean removed before the
+    cosine — the normalized-dB floor is a large common baseline that
+    otherwise saturates every similarity at ~0.999); segment runs collapse
+    to letters, silence runs to spaces, with repeat counts estimated from
+    the utterance-level tempo (median segment-duration ratio vs the
+    per-letter base duration).
+    """
+
+    def __init__(self, hp: HParams, spec: ToySpecV2 | None = None,
+                 decl_step: float = 0.25, decl_max: float = 5.0):
+        self.spec = spec or ToySpecV2()
+        self.ap = AudioProcessor(hp.audio)
+        self.decl_step = decl_step
+        sr = hp.audio.sample_rate
+        n = int(0.25 * sr)
+        t = np.arange(n) / sr
+        rng = np.random.default_rng(0)
+        noise = rng.standard_normal(n) * 10.0 ** (self.spec.noise_db / 20.0)
+
+        def mid_mel(w: np.ndarray) -> np.ndarray:
+            mel = self.ap.melspectrogram(w.astype(np.float32)).T
+            return mel[mel.shape[0] // 4: 3 * mel.shape[0] // 4].mean(axis=0)
+
+        self.shifts = np.arange(0.0, decl_max + 1e-9, decl_step)
+        letter_temps, sil = [], None
+        for k in range(len(LETTERS)):
+            tilt = self.spec.harmonic_decay(k)
+            row = []
+            for d in self.shifts:
+                f0 = self.spec.f0(k) * 2.0 ** (-d / 12.0)
+                w = np.zeros(n)
+                for h in range(1, self.spec.n_harmonics + 1):
+                    w += tilt ** h * np.sin(2 * np.pi * h * f0 * t)
+                scale = 0.6 / max(np.abs(w + noise).max(), 1e-6)
+                row.append(mid_mel(scale * (w + noise)))
+                if k == 0 and d == 0.0:
+                    # silence class: the noise floor at its IN-UTTERANCE
+                    # scale (an utterance normalizes its tone peak to 0.6;
+                    # silence is NOT renormalized to full scale)
+                    sil = mid_mel(scale * noise)
+            letter_temps.append(row)
+        lt = np.asarray(letter_temps, np.float32)  # [26, S, num_mels]
+        self.letter_templates = lt - lt.mean(axis=2, keepdims=True)
+        self.sil_template = (sil - sil.mean()).astype(np.float32)
+
+    def frame_symbols(self, mel: np.ndarray) -> np.ndarray:
+        """Per-frame symbol indices: 0-25 letters, -1 silence.
+        ``mel``: [T, num_mels] in the corpus' normalized mel domain.
+
+        The declination is fit GLOBALLY before classifying: letter k shifted
+        by a semitone is nearly letter k-1 unshifted (the tilt cue separates
+        neighbors but not every pitch-shifted pair), so per-frame free choice
+        of (letter, shift) is ambiguous — but the corpus applies ONE linear
+        drift per utterance (synthesize_utterance_v2 declination), so the
+        decoder grid-searches the total drift, constrains each frame's shift
+        to the drift line, and classifies letters under that constraint.
+        A width-3 median filter then removes single-frame blips."""
+        mel = np.asarray(mel, np.float32)
+        mel = mel - mel.mean(axis=1, keepdims=True)
+        T = mel.shape[0]
+        t01 = (np.arange(T) / max(T - 1, 1)).astype(np.float32)
+        # distances to every (letter, shift) and to silence, computed once
+        lt = self.letter_templates  # [26, S, M]
+        d2 = (np.sum(mel ** 2, axis=1)[:, None, None]
+              - 2.0 * np.einsum("tm,ksm->tks", mel, lt)
+              + np.sum(lt ** 2, axis=2)[None])  # [T, 26, S]
+        d2_sil = np.sum((mel - self.sil_template) ** 2, axis=1)  # [T]
+        best_cost, best_syms = np.inf, None
+        n_shifts = lt.shape[1]
+        for decl in np.arange(0.0, self.shifts[-1] + 1e-9, self.decl_step):
+            idx = np.clip(np.round(decl * t01 / self.decl_step), 0,
+                          n_shifts - 1).astype(np.int32)
+            dl = d2[np.arange(T), :, idx]  # [T, 26] under this drift line
+            letter_min = dl.min(axis=1)
+            cost = float(np.minimum(letter_min, d2_sil).sum())
+            if cost < best_cost:
+                best_cost = cost
+                syms = np.where(d2_sil < letter_min, -1,
+                                dl.argmin(axis=1)).astype(np.int32)
+                best_syms = syms
+        syms = best_syms
+        if len(syms) >= 3:
+            stacked = np.stack([syms[:-2], syms[1:-1], syms[2:]])
+            syms[1:-1] = np.median(stacked, axis=0).astype(np.int32)
+        return syms
+
+    def _base(self, s: int) -> int:
+        return self.spec.min_frames + (s % self.spec.frame_spread)
+
+    def decode(self, mel: np.ndarray, min_run: int = 2) -> str:
+        """Transcribe a mel to a letter string (words separated by single
+        spaces; leading/trailing silence stripped). Two-pass segmentation:
+        estimate the utterance tempo from the letter segments, drop glide
+        artifacts (segments far shorter than the letter's tempo-scaled base
+        duration), then emit letters with duration-derived repeat counts
+        (adjacent identical letters render as one long segment)."""
+        syms = self.frame_symbols(mel)
+        runs: List[Tuple[int, int]] = []  # (symbol, length)
+        for s in syms:
+            if runs and runs[-1][0] == s:
+                runs[-1] = (s, runs[-1][1] + 1)
+            else:
+                runs.append((int(s), 1))
+        segs = [(s, ln) for s, ln in runs if ln >= min_run]
+        letter_segs = [(s, ln) for s, ln in segs if s >= 0]
+        if not letter_segs:
+            return ""
+        # pass 1: tempo from the duration-weighted segments (long segments
+        # are real letters; glide blips are short and drag the median down)
+        ratios = np.repeat([ln / self._base(s) for s, ln in letter_segs],
+                           [ln for _, ln in letter_segs])
+        tempo = float(np.median(ratios))
+        tempo = min(max(tempo, self.spec.tempo_range[0]),
+                    self.spec.tempo_range[1])
+        # pass 2: drop glide artifacts, emit with repeat counts
+        chars: List[str] = []
+        for s, ln in segs:
+            if s < 0:
+                if chars and chars[-1] != " ":
+                    chars.append(" ")
+                continue
+            expected = tempo * self._base(s)
+            if ln < 0.55 * expected:
+                continue  # coarticulation glide passing through this letter
+            count = max(1, int(round(ln / expected)))
+            chars.extend(LETTERS[s] * count)
+        return "".join(chars).strip()
+
+
+def letter_error_rate(hyp: str, ref: str) -> float:
+    """Levenshtein distance over characters (spaces included) / len(ref)."""
+    m, n = len(hyp), len(ref)
+    if n == 0:
+        return float(m > 0)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (hyp[i - 1] != ref[j - 1]))
+        prev = cur
+    return prev[n] / n

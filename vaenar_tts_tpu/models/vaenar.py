@@ -249,11 +249,20 @@ class VAENAR(nn.Module):
     def infer_with_length_prediction(self, inputs, text_lengths,
                                      max_mel_length: int,
                                      reduction_factor: int = 2,
-                                     temperature=0.0):
+                                     temperature=0.0,
+                                     length_headroom: int = 80):
         """Full CLI-style inference (reference inference.py:125-143): predict
-        lengths from the text (+80-frame headroom, a reference quirk kept for
-        parity), clamp to the static bucket, sample, decode.
-        Returns (mels, predicted_lengths, alignments)."""
+        lengths from the text, add ``length_headroom`` frames (the
+        reference's hard-coded +80, inference.py:136), clamp to the static
+        bucket, sample, decode. Returns (mels, predicted_lengths,
+        alignments).
+
+        On headroom: a NAR attention decoder renders the WHOLE text within
+        whatever z-length it is given (alignment adapts its rate; there is
+        no truncation mode), while frames past the content the prior never
+        trained to end decode to junk — so headroom only ever ADDS garbage.
+        The CLI therefore passes 0 by default (PARITY.md deviation 13);
+        pass 80 for exact reference behavior."""
         r = reduction_factor
         text_pos_step = self.mel_text_len_ratio / float(r)
         text_embd = self.text_encoder(inputs, text_lengths,
@@ -263,7 +272,7 @@ class VAENAR(nn.Module):
         # clamp in float first: exp() of untrained logits can overflow, and
         # float->int conversion of inf/huge values is undefined in XLA
         predicted = jnp.clip(predicted, 1.0, float(max_mel_length))
-        pred_m_l = predicted.astype(jnp.int32) + 80  # reference inference.py:136
+        pred_m_l = predicted.astype(jnp.int32) + length_headroom
         pred_m_l = jnp.minimum(pred_m_l, max_mel_length)
         reduced_lens = (pred_m_l + r - 1) // r
         reduced_max = -(-max_mel_length // r)

@@ -228,14 +228,16 @@ def make_inference_step(hp: HParams, model: VAENAR) -> Callable:
     (reference inference.py:125-143)."""
 
     @partial(jax.jit,
-             static_argnames=("reduction_factor", "max_mel_length"))
+             static_argnames=("reduction_factor", "max_mel_length",
+                              "length_headroom"))
     def inference_step(params, batch_stats, texts, t_lens, rng,
                        reduction_factor: int = 2, max_mel_length: int = 2400,
-                       temperature: float = 0.0):
+                       temperature: float = 0.0, length_headroom: int = 80):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             texts, t_lens, max_mel_length=max_mel_length,
             reduction_factor=reduction_factor, temperature=temperature,
+            length_headroom=length_headroom,
             method=VAENAR.infer_with_length_prediction,
             rngs={"sample": rng})
 
