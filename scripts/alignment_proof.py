@@ -60,14 +60,19 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
                  latent_dim: int | None = None,
                  kl_weight: float | None = None,
                  kl_init: float | None = None,
-                 kl_anneal_epochs: int | None = None):
+                 kl_anneal_epochs: int | None = None,
+                 stages_epochs: int | None = None):
     """The SHIPPED LJ architecture/loss by default.
 
     ``latent_dim`` / ``kl_weight`` override the preset only for ablations
     (e.g. the round-2 latent-16 / kl-1e-3 proof). ``kl_init`` +
     ``kl_anneal_epochs`` enable the KL-annealing scaffolding (linear
     kl_init -> preset end weight over the given epochs) if posterior
-    over-use recurs at the shipped weights.
+    over-use recurs at the shipped weights. ``stages_epochs`` pins the
+    reduction-factor curriculum to an earlier run's schedule when EXTENDING
+    training (e.g. epochs=2400, stages_epochs=1200 keeps the 1200-epoch
+    stage boundaries so a resumed run stays at the final r instead of the
+    curriculum re-stretching).
     """
     from vaenar_tts_tpu.configs import get_config
 
@@ -79,7 +84,7 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
     # one static shape: every batch pads to (text 32, mel <= one bucket) so the
     # tunnel pays ~10 compiles total instead of shapes x stages
     mel_bucket = ((stats["max_mel_len"] + 119) // 120) * 120
-    stage = max(epochs // 5, 1)
+    stage = max((stages_epochs or epochs) // 5, 1)
     common = dataclasses.replace(
         hp.common, mel_text_len_ratio=round(stats["mel_text_len_ratio"], 2))
     if latent_dim is not None and not tiny:
@@ -185,6 +190,10 @@ def main() -> int:
                     help="KL-annealing scaffold: start weight, linear to the "
                          "preset end weight over --kl_anneal_epochs")
     ap.add_argument("--kl_anneal_epochs", type=int, default=None)
+    ap.add_argument("--stages_epochs", type=int, default=None,
+                    help="pin the r-curriculum stage boundaries to this "
+                         "earlier total (continuation runs: --epochs 2400 "
+                         "--stages_epochs 1200 resumes at the final r)")
     ap.add_argument("--ablation", action="store_true",
                     help="non-shipped config: assert the legacy thresholds "
                          "(best-site diagonality + MCD improvement) and do "
@@ -238,7 +247,8 @@ def main() -> int:
     hp = build_config(stats, args.epochs, tiny=args.tiny,
                       latent_dim=args.latent_dim, kl_weight=args.kl_weight,
                       kl_init=args.kl_init,
-                      kl_anneal_epochs=args.kl_anneal_epochs)
+                      kl_anneal_epochs=args.kl_anneal_epochs,
+                      stages_epochs=args.stages_epochs)
     print(f"config: latent {hp.common.latent_dim}, kl "
           f"{hp.train.kl_weight_init} -> {hp.train.kl_weight_end} "
           f"(anneal {hp.train.kl_weight_increase_epoch} ep)")
@@ -374,6 +384,33 @@ The headline above asserts at temperature {r['temperature']:g} (an honest
 sample of p(z|text), the distribution the KL term matches). This framework's
 inference CLI therefore defaults to temperature 0.6 instead of the
 reference's 0 (PARITY.md "Deliberate deviations").
+"""
+    ft_path = os.path.join(os.path.dirname(sweep_path or ""),
+                           "freetext_eval.json")
+    if sweep_path and os.path.exists(ft_path):
+        ft = json.load(open(ft_path))
+        lines = "\n".join(
+            f"| `{x['text']}` | `{x['transcript']}` | {x['ler']:.2f} | "
+            f"{x['render_floor_ler']:.2f} |" for x in ft["rows"])
+        sweep_md += f"""
+## Free-text CLI intelligibility (transcription-scored)
+
+`scripts/freetext_toyv2_eval.py` drives the REAL free-text CLI
+(`cli.inference --text`, predicted lengths — reference inference.py:14-81)
+on {ft['n_texts']} held-out texts and TRANSCRIBES the synthesized mels back
+to letters (`data/toy.py::ToyLetterDecoder`: toy-v2 letters are identifiable
+from pitch-class + spectral tilt). Letter error rate vs the decoder's own
+floor on procedural renders of the same texts:
+
+| text | transcript | LER | decoder floor |
+|---|---|---|---|
+{lines}
+
+Mean synthesis LER **{ft['synthesis_ler']:.2f}** vs decoder floor
+{ft['decoder_floor_ler']:.2f}. Residual errors are 1-2-letter truncations
+from length-predictor noise (timing is anchored to the positional-encoding
+rate, so a short predicted length clips the tail) and occasional
+mid-utterance prior-sample breakdowns.
 """
     with open(path, "w") as f:
         f.write(f"""# ALIGNMENT — measured attention-learning evidence
