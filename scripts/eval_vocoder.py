@@ -40,6 +40,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--utts", type=int, default=8)
+    ap.add_argument("--toy_version", type=int, default=1, choices=(1, 2))
     ap.add_argument("--seed", type=int, default=7777,
                     help="held-out draw seed (training uses seed 0)")
     ap.add_argument("--out", default=None,
@@ -57,7 +58,8 @@ def main() -> int:
     ap_dsp = AudioProcessor(audio)
     hop = audio.frame_shift_sample
 
-    utts = toy_utterances(audio, n=args.utts, seed=args.seed)
+    utts = toy_utterances(audio, n=args.utts, seed=args.seed,
+                          version=args.toy_version)
     pairs_neural, pairs_gl = [], []
     sc_neural, sc_gl = [], []
     t_neural = t_gl = 0.0

@@ -34,6 +34,10 @@ def main(argv=None) -> None:
     parser.add_argument("--wav_dir", type=str, default=None,
                         help="directory of training .wav files")
     parser.add_argument("--n_toy_utterances", type=int, default=64)
+    parser.add_argument("--toy_version", type=int, default=1, choices=(1, 2),
+                        help="1 = stationary tones; 2 = speech-like "
+                             "(random tempo, coarticulation, declination, "
+                             "noise floor)")
     parser.add_argument("--wav_limit", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
@@ -67,7 +71,8 @@ def main(argv=None) -> None:
         cfg = dataclasses.replace(cfg, **overrides)
 
     if args.toy:
-        utts = toy_utterances(audio, n=args.n_toy_utterances, seed=args.seed)
+        utts = toy_utterances(audio, n=args.n_toy_utterances,
+                              seed=args.seed, version=args.toy_version)
     else:
         utts = wav_dir_utterances(args.wav_dir, audio, limit=args.wav_limit)
     print(f"training on {len(utts)} utterances "

@@ -81,12 +81,20 @@ class PairSampler:
         return mels, wavs
 
 
-def toy_utterances(audio: AudioConfig, n: int = 64, seed: int = 0
-                   ) -> List[np.ndarray]:
+def toy_utterances(audio: AudioConfig, n: int = 64, seed: int = 0,
+                   version: int = 1) -> List[np.ndarray]:
+    """Procedural training audio. ``version=2`` renders the speech-like
+    toy-v2 acoustics (random tempo, coarticulated boundaries, pitch
+    declination, noise floor — data/toy.py::ToySpecV2), the corpus the
+    generalization evaluation holds the vocoder to."""
     from ..configs import get_config
-    from ..data.toy import random_text, synthesize_utterance
+    from ..data.toy import (random_text, synthesize_utterance,
+                            synthesize_utterance_v2)
     hp = get_config("ljspeech").replace(audio=audio)
     rng = np.random.default_rng(seed)
+    if version == 2:
+        return [synthesize_utterance_v2(random_text(rng), hp, rng)
+                for _ in range(n)]
     return [synthesize_utterance(random_text(rng), hp) for _ in range(n)]
 
 
