@@ -96,7 +96,7 @@ def inference_test(args) -> None:
     max_mel = pad_to_multiple(
         max(int(rr.mel_lens.max()) for rr in loader.readers) + 80,
         hp.dataset.mel_bucket)
-    rng = jax.random.key(0)
+    rng = jax.random.key(args.sample_seed)
 
     # warm-up compile, once per distinct bucketed shape, so the RTF loop
     # times pure synthesis (generalizes reference inference.py:146-147,
@@ -210,7 +210,8 @@ def synthesize_from_text(args) -> None:
         hp.dataset.mel_bucket)
     mels, pred_lens, ali = inf_step(
         params, batch_stats, jnp.asarray(batch),
-        jnp.asarray(np.asarray(text_lens, np.int32)), jax.random.key(0),
+        jnp.asarray(np.asarray(text_lens, np.int32)),
+        jax.random.key(args.sample_seed),
         reduction_factor=r, max_mel_length=max_mel,
         temperature=args.temperature,
         length_headroom=args.length_headroom)
@@ -251,6 +252,10 @@ def main(argv=None) -> None:
     # (measured: PARITY.md deviation 13). --length_headroom 80 restores
     # exact reference behavior.
     parser.add_argument("--length_headroom", type=int, default=0)
+    parser.add_argument("--sample_seed", type=int, default=0,
+                        help="PRNG seed for prior sampling (temperature > 0 "
+                             "synthesis is stochastic; vary for different "
+                             "takes of the same text)")
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "
