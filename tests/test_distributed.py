@@ -105,7 +105,10 @@ def _run_fleet(workspace, nprocs, max_epochs, tag, n_steps=2,
                     max_epochs=max_epochs, tag=tag, nprocs=nprocs,
                     extra_overrides=extra_overrides)
              for pid in range(nprocs)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # generous: under CI load (other suites' fleets, a concurrent TPU job's
+    # host process) cold jax startup+compile for a 4-process fleet can
+    # exceed 15 min
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
     return outs
