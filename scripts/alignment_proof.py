@@ -396,11 +396,14 @@ reference's 0 (PARITY.md "Deliberate deviations").
 ## Free-text CLI intelligibility (transcription-scored)
 
 `scripts/freetext_toyv2_eval.py` drives the REAL free-text CLI
-(`cli.inference --text`, predicted lengths — reference inference.py:14-81)
-on {ft['n_texts']} held-out texts and TRANSCRIBES the synthesized mels back
-to letters (`data/toy.py::ToyLetterDecoder`: toy-v2 letters are identifiable
-from pitch-class + spectral tilt). Letter error rate vs the decoder's own
-floor on procedural renders of the same texts:
+(`cli.inference --text`, predicted lengths — reference inference.py:14-81{
+    f", {ft['takes']} z-samples per line with reference-free best-take "
+    f"selection by decoder-attention diagonality, `--takes`"
+    if ft.get('takes', 1) > 1 else ""}) on {ft['n_texts']}
+held-out texts and TRANSCRIBES the synthesized mels back to letters
+(`data/toy.py::ToyLetterDecoder`: toy-v2 letters are identifiable from
+pitch-class + spectral tilt). Letter error rate vs the decoder's own floor
+on procedural renders of the same texts:
 
 | text | transcript | LER | decoder floor |
 |---|---|---|---|

@@ -12,8 +12,10 @@ LJSpeech samples (VERDICT r2, next-round item 1: "the free-text CLI
 synthesizing intelligible toy-v2 audio").
 
 The decoder's own floor is calibrated on PROCEDURAL renders of the same
-texts; the synthesis passes if its letters-only LER is within
-``--margin`` of that floor.
+texts and reported alongside; the synthesis passes if its mean letters-only
+LER lands at or under ``--max_ler`` (default 0.20: at least 80% of letters
+correct through the full text -> prior-sample -> decode pipeline with
+predicted lengths).
 
 Usage (chip, ~5 min dominated by the CLI's tunnel compile):
 
@@ -41,9 +43,21 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--seed", type=int, default=4242,
                     help="held-out text seed (corpus generation used seed 0)")
-    ap.add_argument("--margin", type=float, default=0.10,
-                    help="allowed LER excess over the decoder's floor on "
-                         "procedural renders of the same texts")
+    ap.add_argument("--max_ler", type=float, default=0.20,
+                    help="pass gate: mean letters-only LER must land at or "
+                         "under this (0.20 = at least 80%% of letters "
+                         "correct through text -> prior sample -> decode "
+                         "with PREDICTED lengths). The decoder's floor on "
+                         "procedural renders is reported alongside for "
+                         "calibration")
+    ap.add_argument("--takes", type=int, default=1,
+                    help="z-samples per line; >1 makes the CLI keep the "
+                         "take with the most monotonic decoder attention "
+                         "(cli.inference --takes). Measured on the 2000-"
+                         "epoch model: selection saturates (every take's "
+                         "diagonality ~0.997) — residual errors are content-"
+                         "level prior artifacts, not alignment failures — "
+                         "so the headline uses 1")
     ap.add_argument("--skip_cli", action="store_true",
                     help="reuse mels already written to <workdir>/freetext")
     args = ap.parse_args()
@@ -69,13 +83,20 @@ def main() -> int:
         cmd = [sys.executable, "-m", "vaenar_tts_tpu.cli.inference",
                "--dataset", "ljspeech", "--text", lines_path,
                "--model_dir", os.path.join(args.workdir, "ckpt"),
-               "--test_dir", out_dir, "--write_mels"]
+               "--test_dir", out_dir, "--write_mels",
+               "--takes", str(args.takes)]
         print("running:", " ".join(cmd), flush=True)
         subprocess.run(cmd, cwd=REPO, check=True)
 
-    mel_paths = sorted(glob.glob(os.path.join(out_dir, "test-*-*.npy")),
-                       key=lambda p: int(p.rsplit("-", 1)[1][:-4]))
+    all_mels = glob.glob(os.path.join(out_dir, "test-*-*.npy"))
+    # artifacts are named test-<ckpt_epoch>-<line>.npy; evaluate the NEWEST
+    # checkpoint's set (older runs' files may coexist in the workdir)
+    latest = max(int(p.rsplit("-", 2)[1]) for p in all_mels)
+    mel_paths = sorted(
+        (p for p in all_mels if int(p.rsplit("-", 2)[1]) == latest),
+        key=lambda p: int(p.rsplit("-", 1)[1][:-4]))
     assert len(mel_paths) == len(texts), (mel_paths, texts)
+    print(f"evaluating checkpoint epoch {latest}")
     synth_mels = [np.load(p) for p in mel_paths]
 
     dec = ToyLetterDecoder(hp)
@@ -102,10 +123,11 @@ def main() -> int:
     mean_floor = float(np.mean(floor_lers))
     result = {
         "n_texts": len(texts),
+        "takes": args.takes,
         "synthesis_ler": round(mean_ler, 3),
         "decoder_floor_ler": round(mean_floor, 3),
-        "margin": args.margin,
-        "pass": bool(mean_ler <= mean_floor + args.margin),
+        "max_ler": args.max_ler,
+        "pass": bool(mean_ler <= args.max_ler),
         "rows": rows,
     }
     out = os.path.join(args.workdir, "freetext_eval.json")

@@ -208,23 +208,64 @@ def synthesize_from_text(args) -> None:
     max_mel = pad_to_multiple(
         int(text_max * hp.common.mel_text_len_ratio * 2) + 160,
         hp.dataset.mel_bucket)
-    mels, pred_lens, ali = inf_step(
-        params, batch_stats, jnp.asarray(batch),
-        jnp.asarray(np.asarray(text_lens, np.int32)),
-        jax.random.key(args.sample_seed),
-        reduction_factor=r, max_mel_length=max_mel,
-        temperature=args.temperature,
-        length_headroom=args.length_headroom)
-    mels = np.asarray(mels, np.float32)
-    pred_lens = np.asarray(pred_lens)
+    from ..utils.metrics import alignment_diagonality
+
+    def run_take(t: int):
+        mels_t, lens_t, ali_t = inf_step(
+            params, batch_stats, jnp.asarray(batch),
+            jnp.asarray(np.asarray(text_lens, np.int32)),
+            jax.random.fold_in(jax.random.key(args.sample_seed), t),
+            reduction_factor=r, max_mel_length=max_mel,
+            temperature=args.temperature,
+            length_headroom=args.length_headroom)
+        # copies: np.asarray of a device array can be a read-only view, and
+        # multi-take selection assigns into these buffers per utterance
+        return (np.array(mels_t, np.float32), np.array(lens_t),
+                {k: np.array(a, np.float32) for k, a in ali_t.items()
+                 if a is not None})
+
+    takes = max(1, args.takes)
+    mels, pred_lens, ali = run_take(0)
+    if takes > 1:
+        # Multi-take selection, REFERENCE-FREE: prior sampling is stochastic
+        # (temperature > 0), and the decoder's own cross-attention
+        # diagonality is a quality signal that needs no ground truth — a
+        # take whose alignment wandered is a take whose synthesis broke.
+        # Synthesize `takes` z-samples per line and keep, per line, the take
+        # with the most monotonic decoder attention. (Lengths are
+        # deterministic given text, so takes differ only in z.)
+        def scores_of(lens_t, ali_t):
+            s = np.full(len(texts), -2.0)
+            for a in ali_t.values():
+                for b in range(len(texts)):
+                    red = -(-int(lens_t[b]) // r)
+                    d = alignment_diagonality(
+                        a[b], red, int(text_lens[b]))["diagonality"]
+                    s[b] = max(s[b], d)
+            return s
+
+        best_scores = scores_of(pred_lens, ali)
+        chosen = np.zeros(len(texts), np.int32)
+        for t in range(1, takes):
+            mels_t, lens_t, ali_t = run_take(t)
+            s_t = scores_of(lens_t, ali_t)
+            better = s_t > best_scores
+            for b in np.nonzero(better)[0]:
+                mels[b] = mels_t[b]
+                pred_lens[b] = lens_t[b]
+                for k in ali:
+                    ali[k][b] = ali_t[k][b]
+                best_scores[b] = s_t[b]
+                chosen[b] = t
+        print(f"take selection over {takes} z-samples: chosen takes "
+              f"{chosen.tolist()}, decoder diagonality "
+              f"{np.round(best_scores, 3).tolist()}")
     if args.write_mels:
         tester.write_mels(epoch, mels, pred_lens, ids, prefix="test")
     tester.synthesize_and_save_wavs(epoch, mels, pred_lens, ids, prefix="test")
     for k, a in ali.items():
-        if a is None:
-            continue
         tester.multi_draw_attention_alignments(
-            np.asarray(a, np.float32), batch, np.asarray(text_lens),
+            a, batch, np.asarray(text_lens),
             pred_lens, epoch, ids, prefix=f"prior-{k}")
 
 
@@ -256,6 +297,12 @@ def main(argv=None) -> None:
                         help="PRNG seed for prior sampling (temperature > 0 "
                              "synthesis is stochastic; vary for different "
                              "takes of the same text)")
+    parser.add_argument("--takes", type=int, default=1,
+                        help="free-text mode: synthesize this many z-samples "
+                             "per line and keep the one with the most "
+                             "monotonic decoder cross-attention (reference-"
+                             "free quality selection; each extra take is one "
+                             "cheap device pass)")
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "
