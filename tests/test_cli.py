@@ -109,3 +109,20 @@ class TestCLISurface:
                         "--model_dir", str(workspace / "ckpt"),
                         "--test_dir", out])
         assert any(f.endswith(".wav") for f in os.listdir(out))
+
+    def test_free_text_multi_take(self, workspace, capsys):
+        """--takes N synthesizes N z-samples per line and keeps the most
+        monotonic-attention take (reference-free selection); mels + wavs +
+        per-take selection report come out."""
+        from vaenar_tts_tpu.cli import inference
+        lines = workspace / "lines2.txt"
+        lines.write_text("Hello world.\nA second line here.\n")
+        out = str(workspace / "freetext_takes")
+        inference.main(["--dataset", "ljspeech",
+                        "--text", str(lines),
+                        "--model_dir", str(workspace / "ckpt"),
+                        "--test_dir", out, "--takes", "2", "--write_mels"])
+        assert sum(f.endswith(".wav") for f in os.listdir(out)) == 2
+        assert sum(f.endswith(".npy") for f in os.listdir(out)) == 2
+        report = capsys.readouterr().out
+        assert "take selection over 2 z-samples" in report
