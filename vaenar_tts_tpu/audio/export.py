@@ -18,10 +18,11 @@ from .dsp import AudioProcessor
 
 def device_vocoder_capable() -> bool:
     """Probe: can the attached accelerator run the compiled Griffin-Lim loop
-    (ops/griffin_lim.py) safely? Directly attached TPUs qualify; the
-    tunnel-attached 'axon' PJRT plugin faults on the kernel and can hang the
-    chip for tens of minutes, and on the CPU backend host threads win, so
-    both fall back to the host vocoder. Override with VAENAR_JAX_VOCODER=1/0."""
+    (ops/griffin_lim.py) safely? TPUs qualify (round 3 validated the full
+    program on the tunnel-attached chip — 25x the host path, VOCODER.md;
+    the round-2 'axon' plugin fault no longer reproduces, VOCODER_BISECT.json);
+    on the CPU backend host threads win, so it falls back to the host
+    vocoder. Override with VAENAR_JAX_VOCODER=1/0."""
     env = os.environ.get("VAENAR_JAX_VOCODER")
     if env is not None:
         return env.lower() not in ("0", "false", "no")

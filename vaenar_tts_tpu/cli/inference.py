@@ -312,9 +312,10 @@ def main(argv=None) -> None:
                         default=False)
     parser.add_argument("--jax_vocoder", action="store_true", default=False,
                         help="force batched on-device Griffin-Lim (default: "
-                             "capability probe picks it on direct-attached "
-                             "TPUs; tunnel-attached chips fault on the "
-                             "kernel and fall back to host threads)")
+                             "capability probe picks it on TPUs — validated "
+                             "~25x the host path, VOCODER.md — and falls "
+                             "back to host threads on CPU backends; "
+                             "VAENAR_JAX_VOCODER=0/1 overrides)")
     parser.add_argument("--host_vocoder", action="store_true", default=False,
                         help="force the threaded host NumPy Griffin-Lim")
     parser.add_argument("--stream_wavs", action="store_true", default=False,

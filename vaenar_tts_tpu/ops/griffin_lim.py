@@ -8,11 +8,13 @@ matmul + shifted slice-add overlap-add, phase updates element-wise on the
 VPU, and the 60-iteration loop as a lax.fori_loop inside one jitted program.
 
 STATUS: numerically validated against the NumPy reference on the CPU backend
-(tests/test_griffin_lim.py). On the tunnel-attached TPU in this environment
-the compiled program faults the device (both the conv and the gather+matmul
-formulations), so the host NumPy vocoder remains the default synthesis path;
---jax_vocoder is opt-in/experimental pending a run on directly-attached
-hardware.
+(tests/test_griffin_lim.py) AND, as of round 3, on the attached TPU: the
+round-2 device fault no longer reproduces (the full bisect ladder of
+scripts/bisect_device_gl.py passes, VOCODER_BISECT.json) and the production
+program runs at scale — 677 ms for a 16x720-frame batch (133.6 s of audio),
+~25x the fast host path (VOCODER.md "Round 3"). device_vocoder_capable()
+gates the auto path; VAENAR_JAX_VOCODER=0 forces the host fallback if a
+platform update regresses.
 """
 
 from __future__ import annotations
