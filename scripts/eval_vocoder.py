@@ -12,7 +12,7 @@ seen in training (fresh toy-corpus draws from a disjoint seed):
   * waveform spectral convergence vs the ground-truth |STFT|;
   * host/device cost per utterance.
 
-Writes VOCODER.md at the repo root with the measured table.
+Prints the measured JSON; --out writes a standalone markdown table.
 
     python scripts/eval_vocoder.py --model_dir /tmp/voc_toy [--utts 8]
 """
@@ -41,11 +41,15 @@ def main() -> int:
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--utts", type=int, default=8)
     ap.add_argument("--toy_version", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--device_gl", action="store_true",
+                    help="also run batched on-device Griffin-Lim "
+                         "(ops/griffin_lim.py) as a third column")
     ap.add_argument("--seed", type=int, default=7777,
                     help="held-out draw seed (training uses seed 0)")
     ap.add_argument("--out", default=None,
-                    help="write the evidence markdown here (default: repo "
-                         "VOCODER.md)")
+                    help="write a standalone evidence markdown here "
+                         "(default: JSON print only; VOCODER.md is curated "
+                         "by hand)")
     args = ap.parse_args()
 
     from vaenar_tts_tpu.audio.dsp import AudioProcessor
@@ -79,6 +83,19 @@ def main() -> int:
     wavs = np.asarray(vocode(model, params, mel_dev))
     t_neural = time.perf_counter() - t0
 
+    # device Griffin-Lim on the same padded batch (one dispatch; round-3
+    # validated on the attached chip, VOCODER.md "Round 3")
+    pairs_dev, sc_dev, t_dev, wavs_dev = [], [], 0.0, None
+    if args.device_gl:
+        from vaenar_tts_tpu.ops.griffin_lim import mel_to_wav_jax
+        gl_fn = jax.jit(lambda m, k: mel_to_wav_jax(m, audio, k,
+                                                    ola_mode="concat"))
+        key = jax.random.key(args.seed)
+        wavs_dev = np.asarray(gl_fn(mel_dev, key))  # compile + warm up
+        t0 = time.perf_counter()
+        wavs_dev = np.asarray(gl_fn(mel_dev, key))
+        t_dev = time.perf_counter() - t0
+
     for i, (pre, mel) in enumerate(zip(pres, mels)):
         F = mel.shape[0]
         n = hop * (F - 1)
@@ -92,8 +109,10 @@ def main() -> int:
         t_gl += time.perf_counter() - t0
 
         ref_mag = np.abs(ap_dsp._stft(np.asarray(pre[:n], np.float64)))
-        for w, sc_list, pair_list in ((w_n, sc_neural, pairs_neural),
-                                      (w_g, sc_gl, pairs_gl)):
+        variants = [(w_n, sc_neural, pairs_neural), (w_g, sc_gl, pairs_gl)]
+        if wavs_dev is not None:
+            variants.append((wavs_dev[i][:n], sc_dev, pairs_dev))
+        for w, sc_list, pair_list in variants:
             m2 = np.abs(ap_dsp._stft(np.asarray(w, np.float64)))
             kk = min(m2.shape[1], ref_mag.shape[1])
             sc_list.append(float(
@@ -120,11 +139,23 @@ def main() -> int:
                         "rtf": round(t_gl / audio_secs, 6)},
         "device": jax.devices()[0].device_kind,
     }
+    if pairs_dev:
+        q_d = batch_summary(pairs_dev)
+        result["device_griffin_lim"] = {
+            "mel_l1": round(q_d["mel_l1"], 4),
+            "mcd_db": round(q_d["mcd_db"], 2),
+            "spectral_convergence": round(float(np.mean(sc_dev)), 4),
+            "seconds_total": round(t_dev, 3),
+            "rtf": round(t_dev / audio_secs, 6)}
     print(json.dumps(result, indent=2))
 
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "VOCODER.md")
+    if args.out is None:
+        # VOCODER.md is now a curated multi-section document (toy-v2
+        # generalization, device-GL validation); never clobber it silently —
+        # the JSON above is the machine-readable result, and --out writes
+        # the standalone markdown table when asked
+        return 0
+    out = args.out
     n, g = result["neural"], result["griffin_lim"]
     with open(out, "w") as f:
         f.write(f"""# VOCODER — neural ISTFT-head vs Griffin-Lim, measured
