@@ -72,20 +72,29 @@ def main():
                          "long-form shapes where 30 steps is minutes)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--remat", default=None, choices=("off", "on", "dots"))
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="micro-batch the step (hp.train.grad_accum): "
+                         "batch/N per micro-step, averaged grads, one Adam "
+                         "update — the mitigation for the HBM-bandwidth "
+                         "batch-scaling wall past batch 32 (README)")
     args = ap.parse_args()
     base = get_config("ljspeech")
     if args.remat is not None:
         base = base.replace(train=dataclasses.replace(base.train,
                                                       remat=args.remat))
+    if args.grad_accum != 1:
+        base = base.replace(train=dataclasses.replace(
+            base.train, grad_accum=args.grad_accum))
     knob_of = {"xla": "off", "pallas": True, "auto": "auto"}
     for name in args.modes:
         hp = base.replace(train=dataclasses.replace(
             base.train, use_pallas_attention=knob_of[name]))
         dt = measure(hp, args.batch, args.text, args.mel, args.reduction,
                      lo=args.chain[0], hi=args.chain[1], reps=args.reps)
+        acc = f", accum {args.grad_accum}" if args.grad_accum != 1 else ""
         print(f"{name:8s} {dt * 1e3:8.1f} ms/step  "
               f"{args.batch / dt:,.1f} utt/s  (batch {args.batch} "
-              f"x {args.mel} frames, r={args.reduction}, fwd+bwd+Adam)",
+              f"x {args.mel} frames, r={args.reduction}{acc}, fwd+bwd+Adam)",
               flush=True)
 
 

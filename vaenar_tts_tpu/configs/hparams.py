@@ -63,6 +63,17 @@ class TrainConfig:
     # .dots_saveable). Trades recompute FLOPs for HBM - the measured batch-
     # scaling wall past batch 32 (README) is activation-memory bound.
     remat: str = "off"
+    # Gradient accumulation: split each train batch into this many equal
+    # micro-batches, lax.scan the fwd+bwd over them, average the gradients,
+    # and apply ONE optimizer update. The measured per-chip batch-scaling
+    # wall (README: 64->68.6 ms, 128->192.6 ms vs 28.8 ms at 32) is HBM
+    # bandwidth - per-op working sets outgrow VMEM past batch 32 - so a
+    # global batch of 128 runs fastest as 4 micro-steps at the batch-32
+    # optimum. Semantics vs one full-batch step: the kl hinge max(kl,0)
+    # (reference train.py:135) clamps the per-micro-batch mean, and
+    # BatchNorm moments are per micro-batch - both identical in the trained
+    # regime (kl > 0) up to reassociation. Batch size must divide evenly.
+    grad_accum: int = 1
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
     # reference saves every epoch (train.py:304-306); raise when epochs are

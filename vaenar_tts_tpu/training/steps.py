@@ -82,35 +82,81 @@ def make_train_step(hp: HParams, model: VAENAR,
                     optimizer: optax.GradientTransformation,
                     donate: bool = True) -> Callable:
     """Returns jitted fn(params, batch_stats, opt_state, texts, mels, t_lens,
-    m_lens, kl_weight, rng) -> (params, batch_stats, opt_state, metrics)."""
+    m_lens, kl_weight, rng) -> (params, batch_stats, opt_state, metrics).
+
+    With ``hp.train.grad_accum = A > 1`` the batch is split into A equal
+    micro-batches, fwd+bwd is lax.scan'ed over them (one micro-batch's
+    activations live at a time - per-op working sets stay at the batch/A
+    optimum, dodging the measured HBM-bandwidth wall past batch 32, README
+    batch-scaling row), gradients are averaged, and ONE Adam update is
+    applied - the same global-batch semantics as the reference's single
+    tf.function step (reference train.py:120-146)."""
 
     length_weight = hp.train.length_weight
+    accum = max(1, int(getattr(hp.train, "grad_accum", 1)))
+
+    def loss_fn(p, bstats, texts, mels, t_lens, m_lens, kl_weight,
+                k_d, k_s, reduction_factor):
+        outs, updated = model.apply(
+            {"params": p, "batch_stats": bstats},
+            texts, mels, m_lens, t_lens,
+            reduction_factor=reduction_factor, train=True,
+            reduce_loss=True,
+            rngs={"dropout": k_d, "sample": k_s},
+            mutable=["batch_stats"])
+        _dec, mel_l2, kl, len_l2, _ali = outs
+        loss = (mel_l2 + kl_weight * jnp.maximum(kl, 0.0)
+                + length_weight * len_l2)
+        return loss, (mel_l2, kl, len_l2, updated["batch_stats"])
 
     @partial(jax.jit, static_argnames=("reduction_factor",),
              donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, batch_stats, opt_state, texts, mels, t_lens,
                    m_lens, kl_weight, rng, reduction_factor: int = 2):
-        k_d, k_s = jax.random.split(rng)
+        if accum == 1:
+            k_d, k_s = jax.random.split(rng)
+            (loss, (mel_l2, kl, len_l2, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
+                    params, batch_stats, texts, mels, t_lens, m_lens,
+                    kl_weight, k_d, k_s, reduction_factor)
+            metrics = {"total": loss, "mel_l2": mel_l2, "kl": kl,
+                       "len_l2": len_l2}
+        else:
+            B = texts.shape[0]
+            assert B % accum == 0, (
+                f"grad_accum={accum} must divide batch size {B}")
 
-        def loss_fn(p):
-            outs, updated = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                texts, mels, m_lens, t_lens,
-                reduction_factor=reduction_factor, train=True,
-                reduce_loss=True,
-                rngs={"dropout": k_d, "sample": k_s},
-                mutable=["batch_stats"])
-            _dec, mel_l2, kl, len_l2, _ali = outs
-            loss = (mel_l2 + kl_weight * jnp.maximum(kl, 0.0)
-                    + length_weight * len_l2)
-            return loss, (mel_l2, kl, len_l2, updated["batch_stats"])
+            def micro(x):
+                return x.reshape(accum, B // accum, *x.shape[1:])
 
-        (loss, (mel_l2, kl, len_l2, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            xs = (micro(texts), micro(mels), micro(t_lens), micro(m_lens),
+                  jnp.arange(accum))
+
+            def body(carry, x):
+                bstats, gsum, msum = carry
+                tx, me, tl, ml, i = x
+                k_d, k_s = jax.random.split(jax.random.fold_in(rng, i))
+                (loss, (mel_l2, kl, len_l2, new_bs)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        params, bstats, tx, me, tl, ml, kl_weight,
+                        k_d, k_s, reduction_factor)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                msum = jax.tree_util.tree_map(
+                    jnp.add, msum,
+                    {"total": loss, "mel_l2": mel_l2, "kl": kl,
+                     "len_l2": len_l2})
+                return (new_bs, gsum, msum), None
+
+            gsum0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            msum0 = {k: jnp.zeros((), jnp.float32)
+                     for k in ("total", "mel_l2", "kl", "len_l2")}
+            (new_bs, gsum, msum), _ = jax.lax.scan(
+                body, (batch_stats, gsum0, msum0), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            metrics = {k: v / accum for k, v in msum.items()}
+
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        metrics = {"total": loss, "mel_l2": mel_l2, "kl": kl,
-                   "len_l2": len_l2}
         return new_params, new_bs, new_opt_state, metrics
 
     return train_step
