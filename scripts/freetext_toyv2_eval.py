@@ -52,12 +52,14 @@ def main() -> int:
                          "calibration")
     ap.add_argument("--takes", type=int, default=1,
                     help="z-samples per line; >1 makes the CLI keep the "
-                         "take with the most monotonic decoder attention "
+                         "take scoring best on decoder-attention "
+                         "diagonality minus text-coverage miss "
                          "(cli.inference --takes). Measured on the 2000-"
-                         "epoch model: selection saturates (every take's "
-                         "diagonality ~0.997) — residual errors are content-"
-                         "level prior artifacts, not alignment failures — "
-                         "so the headline uses 1")
+                         "epoch model BEFORE the coverage term: diagonality "
+                         "alone saturates (every take ~0.997), so the "
+                         "headline uses 1; the coverage term exists to "
+                         "break exactly that tie and awaits re-measurement "
+                         "on a trained checkpoint")
     ap.add_argument("--skip_cli", action="store_true",
                     help="reuse mels already written to <workdir>/freetext")
     args = ap.parse_args()

@@ -111,6 +111,40 @@ class TestDiagonalityMetric:
         assert s["n"] == 2
         assert s["diagonality"] > 0.97
 
+    def test_full_diagonal_has_full_coverage(self):
+        s = alignment_diagonality(self._diag_alignment(50, 10), 50, 10)
+        assert s["coverage"] == pytest.approx(1.0)
+
+    def test_uniform_has_zero_coverage(self):
+        """Uniform attention's per-token peak is exactly 1/text_len, below
+        the 2x-uniform coverage bar — unlearned attention covers nothing."""
+        s = alignment_diagonality(np.full((2, 40, 8), 1.0 / 8), 40, 8)
+        assert s["coverage"] == 0.0
+
+    def test_truncated_render_keeps_diagonality_but_loses_coverage(self):
+        """The failure mode multi-take selection must see (cli.inference
+        scores_of): a render that walks the first 8 of 10 tokens perfectly
+        monotonically — diagonality stays ~1, so only the coverage term
+        can rank it below a full render. This is the measured free-text
+        residual (ALIGNMENT.md: 1-2-letter tail truncations)."""
+        full = alignment_diagonality(self._diag_alignment(50, 10), 50, 10)
+        trunc = np.zeros((1, 50, 10))
+        trunc[:, :, :8] = self._diag_alignment(50, 8)
+        t = alignment_diagonality(trunc, 50, 10)
+        assert t["diagonality"] > 0.97  # diagonality alone cannot rank them
+        assert t["coverage"] == pytest.approx(0.8)
+        score = lambda m: m["diagonality"] - (1.0 - m["coverage"])
+        assert score(full) > score(t) + 0.15
+
+    def test_skipped_token_loses_coverage(self):
+        """A mid-utterance omission (prior-sample breakdown) shows up as an
+        uncovered interior token."""
+        a = self._diag_alignment(50, 10)
+        a[:, :, 5] = 0.0  # token 5 never attended
+        a = a / np.maximum(a.sum(axis=-1, keepdims=True), 1e-12)
+        s = alignment_diagonality(a, 50, 10)
+        assert s["coverage"] <= 0.9
+
 
 class TestAlignmentProbe:
     def test_probe_exposes_every_cross_attention_site(self):

@@ -228,20 +228,25 @@ def synthesize_from_text(args) -> None:
     mels, pred_lens, ali = run_take(0)
     if takes > 1:
         # Multi-take selection, REFERENCE-FREE: prior sampling is stochastic
-        # (temperature > 0), and the decoder's own cross-attention
-        # diagonality is a quality signal that needs no ground truth — a
-        # take whose alignment wandered is a take whose synthesis broke.
-        # Synthesize `takes` z-samples per line and keep, per line, the take
-        # with the most monotonic decoder attention. (Lengths are
-        # deterministic given text, so takes differ only in z.)
+        # (temperature > 0), and the decoder's own cross-attention is a
+        # quality signal that needs no ground truth — a take whose alignment
+        # wandered is a take whose synthesis broke. Synthesize `takes`
+        # z-samples per line and keep, per line, the best-scoring take.
+        # (Lengths are deterministic given text, so takes differ only in z.)
+        # Score = diagonality − (1 − text coverage): on a trained model
+        # diagonality saturates across takes (measured ~0.997 each,
+        # ALIGNMENT.md), so the coverage term — the fraction of text tokens
+        # the decoder actually attended — breaks the tie toward the take
+        # that rendered the whole text instead of one with a truncated tail
+        # or a skipped token mid-utterance.
         def scores_of(lens_t, ali_t):
-            s = np.full(len(texts), -2.0)
+            s = np.full(len(texts), -3.0)
             for a in ali_t.values():
                 for b in range(len(texts)):
                     red = -(-int(lens_t[b]) // r)
-                    d = alignment_diagonality(
-                        a[b], red, int(text_lens[b]))["diagonality"]
-                    s[b] = max(s[b], d)
+                    m = alignment_diagonality(a[b], red, int(text_lens[b]))
+                    s[b] = max(s[b],
+                               m["diagonality"] - (1.0 - m["coverage"]))
             return s
 
         best_scores = scores_of(pred_lens, ali)
@@ -258,7 +263,7 @@ def synthesize_from_text(args) -> None:
                 best_scores[b] = s_t[b]
                 chosen[b] = t
         print(f"take selection over {takes} z-samples: chosen takes "
-              f"{chosen.tolist()}, decoder diagonality "
+              f"{chosen.tolist()}, score (diagonality - coverage miss) "
               f"{np.round(best_scores, 3).tolist()}")
     if args.write_mels:
         tester.write_mels(epoch, mels, pred_lens, ids, prefix="test")
@@ -299,10 +304,10 @@ def main(argv=None) -> None:
                              "takes of the same text)")
     parser.add_argument("--takes", type=int, default=1,
                         help="free-text mode: synthesize this many z-samples "
-                             "per line and keep the one with the most "
-                             "monotonic decoder cross-attention (reference-"
-                             "free quality selection; each extra take is one "
-                             "cheap device pass)")
+                             "per line and keep the one whose decoder cross-"
+                             "attention is most monotonic AND covers the "
+                             "whole text (reference-free quality selection; "
+                             "each extra take is one cheap device pass)")
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "

@@ -101,7 +101,14 @@ def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
         index and the attention-expected text position -- 1.0 for a perfectly
         monotonic alignment, ~0 for unstructured attention;
       * ``focus``: that head's mean max attention weight per frame (how peaked
-        the alignment is; uniform attention gives 1/text_len).
+        the alignment is; uniform attention gives 1/text_len);
+      * ``coverage``: the fraction of text tokens the best head attends at
+        some frame with at least twice the uniform weight. A perfectly
+        diagonal alignment that never reaches the last tokens (a truncated
+        render) or skips tokens mid-utterance scores < 1 here while its
+        diagonality can still be ~1 — coverage is the truncation/omission
+        detector diagonality is blind to. Uniform (unlearned) attention
+        scores 0: its per-token peak is exactly 1/text_len.
 
     This is the quantitative version of the diagonal alignment plots the
     reference eyeballs every test interval (reference train.py:309-325).
@@ -110,7 +117,7 @@ def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
     a = a / np.maximum(a.sum(axis=-1, keepdims=True), 1e-12)
     frames = np.arange(mel_len, dtype=np.float64)
     positions = np.arange(text_len, dtype=np.float64)
-    best_corr, best_focus = -1.0, 0.0
+    best_corr, best_focus, best_cov = -1.0, 0.0, 0.0
     for h in range(a.shape[0]):
         expected = a[h] @ positions  # [mel_len] expected text position
         if expected.std() < 1e-9 or frames.std() < 1e-9:
@@ -120,7 +127,10 @@ def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
         if corr > best_corr:
             best_corr = corr
             best_focus = float(np.mean(a[h].max(axis=-1)))
-    return {"diagonality": best_corr, "focus": best_focus}
+            token_peak = a[h].max(axis=0)  # [text_len] peak over frames
+            best_cov = float(np.mean(token_peak >= 2.0 / text_len))
+    return {"diagonality": best_corr, "focus": best_focus,
+            "coverage": best_cov}
 
 
 def batch_diagonality(ali_batch: np.ndarray, mel_lens: Sequence[int],
@@ -134,6 +144,7 @@ def batch_diagonality(ali_batch: np.ndarray, mel_lens: Sequence[int],
     return {
         "diagonality": float(np.mean([s["diagonality"] for s in scores])),
         "focus": float(np.mean([s["focus"] for s in scores])),
+        "coverage": float(np.mean([s["coverage"] for s in scores])),
         "n": len(scores),
     }
 
