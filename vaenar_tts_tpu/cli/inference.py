@@ -71,6 +71,24 @@ def load_model_state(hp, model_dir: str, compute_dtype: str | None = None):
     return hp, model, r["params"], r["batch_stats"], int(r["epoch"])
 
 
+def _resolve_length_source(source: str, hp) -> bool:
+    """--length_source -> use_length_quantile. 'auto' reads the quantile
+    head whenever the checkpoint was trained with one
+    (hp.length_predictor.quantile > 0): that head exists precisely to stop
+    free-text truncations (models/length_predictor.py), so a model that has
+    it should use it by default."""
+    q = float(getattr(hp.length_predictor, "quantile", 0.0))
+    if source == "quantile":
+        if not q:
+            raise SystemExit(
+                "--length_source quantile: this checkpoint was trained "
+                "without a quantile head (hp.length_predictor.quantile == 0)")
+        return True
+    if source == "mean":
+        return False
+    return q > 0.0
+
+
 def inference_test(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(
@@ -86,6 +104,7 @@ def inference_test(args) -> None:
         model = VAENAR(plots_variant(hp))
     inf_step = make_inference_step(hp, model)
     r = hp.common.final_reduction_factor
+    use_q = _resolve_length_source(args.length_source, hp)
 
     loader = BucketedLoader(list_shards(args.data_dir, "test"),
                             args.batch_size,
@@ -113,7 +132,7 @@ def inference_test(args) -> None:
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
             max_mel_length=max_mel, temperature=args.temperature,
-            length_headroom=args.length_headroom)
+            length_headroom=args.length_headroom, use_length_quantile=use_q)
         # force the compile to FINISH here: on async backends (the tunnel)
         # the dispatch returns while the remote compile is still running,
         # and without this pull the first timed batch absorbs it
@@ -129,7 +148,7 @@ def inference_test(args) -> None:
             params, batch_stats, jnp.asarray(batch.texts),
             jnp.asarray(batch.text_lengths), rng, reduction_factor=r,
             max_mel_length=max_mel, temperature=args.temperature,
-            length_headroom=args.length_headroom)
+            length_headroom=args.length_headroom, use_length_quantile=use_q)
         # sync on the [B]-int32 lengths pull: block_until_ready returns
         # before execution completes on tunnel-attached devices, and a
         # same-program output pull is the cheapest true barrier. RTF still
@@ -188,6 +207,7 @@ def synthesize_from_text(args) -> None:
     from ..training.steps import plots_variant
     inf_step = make_inference_step(hp, VAENAR(plots_variant(hp)))
     r = hp.common.final_reduction_factor
+    use_q = _resolve_length_source(args.length_source, hp)
     corpus = CORPORA[args.dataset](None, None, hp)
 
     texts, text_lens = [], []
@@ -217,7 +237,7 @@ def synthesize_from_text(args) -> None:
             jax.random.fold_in(jax.random.key(args.sample_seed), t),
             reduction_factor=r, max_mel_length=max_mel,
             temperature=args.temperature,
-            length_headroom=args.length_headroom)
+            length_headroom=args.length_headroom, use_length_quantile=use_q)
         # copies: np.asarray of a device array can be a read-only view, and
         # multi-take selection assigns into these buffers per utterance
         return (np.array(mels_t, np.float32), np.array(lens_t),
@@ -298,6 +318,15 @@ def main(argv=None) -> None:
     # (measured: PARITY.md deviation 13). --length_headroom 80 restores
     # exact reference behavior.
     parser.add_argument("--length_headroom", type=int, default=0)
+    parser.add_argument("--length_source", type=str, default="auto",
+                        choices=["auto", "mean", "quantile"],
+                        help="which length-predictor head drives synthesis "
+                             "length: 'mean' = reference behavior, "
+                             "'quantile' = the trained p-quantile head "
+                             "(learned per-text headroom against truncation; "
+                             "requires hp.length_predictor.quantile > 0 at "
+                             "train time), 'auto' = quantile when the "
+                             "checkpoint has one")
     parser.add_argument("--sample_seed", type=int, default=0,
                         help="PRNG seed for prior sampling (temperature > 0 "
                              "synthesis is stochastic; vary for different "

@@ -215,6 +215,11 @@ class PriorConfig:
 class LengthPredictorConfig:
     # reference: hparams.py:346-348 (LengthPredictor.Dense)
     activation: str = "identity"
+    # > 0 trains a second Dense(1) head with a pinball loss at this quantile
+    # (e.g. 0.9 -> p90 lengths) for inference headroom against free-text
+    # truncation; 0 = reference-exact (mean head only). Beyond the
+    # reference; see models/length_predictor.py.
+    quantile: float = 0.0
 
 
 @dataclass(frozen=True)

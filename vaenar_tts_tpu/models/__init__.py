@@ -27,7 +27,7 @@ from .layers import (
     positional_encoding,
     sequence_mask,
 )
-from .length_predictor import DenseLengthPredictor
+from .length_predictor import DenseLengthPredictor, pinball_log_loss
 from .posterior import TransformerPosterior, gaussian_log_probability, reparameterize
 from .prior import TransformerPrior
 from .vaenar import VAENAR, merge_flow_init

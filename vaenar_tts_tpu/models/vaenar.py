@@ -32,7 +32,7 @@ from ..configs.hparams import HParams
 from .decoder import TransformerDecoder
 from .encoder import TransformerEncoder
 from .layers import sequence_mask
-from .length_predictor import DenseLengthPredictor
+from .length_predictor import DenseLengthPredictor, pinball_log_loss
 from .posterior import (TransformerPosterior, gaussian_log_probability,
                         reparameterize)
 from .prior import TransformerPrior
@@ -98,8 +98,13 @@ class VAENAR(nn.Module):
             out_dim=hp.common.output_dim,
             max_reduction_factor=hp.common.max_reduction_factor,
             dtype=dtype, use_pallas=use_pallas, **ring)
+        # quantile: optional p-quantile head for inference length headroom
+        # (getattr: hparams.json files serialized before the field existed)
+        self.length_quantile = float(
+            getattr(hp.length_predictor, "quantile", 0.0))
         self.length_predictor = DenseLengthPredictor(
-            activation=hp.length_predictor.activation, dtype=dtype)
+            activation=hp.length_predictor.activation, dtype=dtype,
+            quantile=self.length_quantile)
         self.posterior = TransformerPosterior(
             pre_hidden=hp.posterior.pre_hidden,
             pre_drop_rate=hp.posterior.pre_drop_rate,
@@ -180,6 +185,14 @@ class VAENAR(nn.Module):
             jax.lax.stop_gradient(text_embd), text_lengths)
         length_loss = self._length_l2_loss(predicted_lengths, mel_lengths,
                                            reduce=reduce_loss)
+        if self.length_quantile:
+            # independent head, same stop-grad inputs: adds only its own
+            # Dense(1) gradients, leaves every other loss term untouched
+            q_lengths = self.length_predictor.quantile_lengths(
+                jax.lax.stop_gradient(text_embd), text_lengths)
+            length_loss = length_loss + pinball_log_loss(
+                q_lengths, mel_lengths, self.length_quantile,
+                reduce=reduce_loss)
 
         mu, logvar = self.posterior(reduced_mels, text_embd,
                                     src_lengths=text_lengths,
@@ -246,11 +259,30 @@ class VAENAR(nn.Module):
             text_lengths=text_lengths, reduction_factor=r, train=False)
         return predicted_mel, dec_alignments
 
+    def predict_lengths(self, inputs, text_lengths,
+                        reduction_factor: int = 2):
+        """Length-prediction API: text -> (mean_lengths, quantile_lengths).
+
+        ``quantile_lengths`` is None when the model was built without a
+        quantile head (hp.length_predictor.quantile == 0) — a config-static
+        choice, so the output pytree structure is stable under jit.
+        Runs only the text encoder + Dense head(s); the cheap way to probe
+        length calibration (scripts/quantile_headroom_eval.py)."""
+        text_pos_step = self.mel_text_len_ratio / float(reduction_factor)
+        text_embd = self.text_encoder(inputs, text_lengths,
+                                      pos_step=text_pos_step, train=False)
+        text_embd = jax.lax.stop_gradient(text_embd)
+        mean = self.length_predictor(text_embd, text_lengths)
+        q = (self.length_predictor.quantile_lengths(text_embd, text_lengths)
+             if self.length_quantile else None)
+        return mean, q
+
     def infer_with_length_prediction(self, inputs, text_lengths,
                                      max_mel_length: int,
                                      reduction_factor: int = 2,
                                      temperature=0.0,
-                                     length_headroom: int = 80):
+                                     length_headroom: int = 80,
+                                     use_length_quantile: bool = False):
         """Full CLI-style inference (reference inference.py:125-143): predict
         lengths from the text, add ``length_headroom`` frames (the
         reference's hard-coded +80, inference.py:136), clamp to the static
@@ -262,13 +294,22 @@ class VAENAR(nn.Module):
         no truncation mode), while frames past the content the prior never
         trained to end decode to junk — so headroom only ever ADDS garbage.
         The CLI therefore passes 0 by default (PARITY.md deviation 13);
-        pass 80 for exact reference behavior."""
+        pass 80 for exact reference behavior.
+
+        ``use_length_quantile``: read the trained p-quantile head (learned,
+        text-conditional headroom against truncation; see
+        length_predictor.py docstring) instead of the mean head. Requires
+        ``hp.length_predictor.quantile > 0`` at train time."""
         r = reduction_factor
         text_pos_step = self.mel_text_len_ratio / float(r)
         text_embd = self.text_encoder(inputs, text_lengths,
                                       pos_step=text_pos_step, train=False)
-        predicted = self.length_predictor(
-            jax.lax.stop_gradient(text_embd), text_lengths)
+        if use_length_quantile:
+            predicted = self.length_predictor.quantile_lengths(
+                jax.lax.stop_gradient(text_embd), text_lengths)
+        else:
+            predicted = self.length_predictor(
+                jax.lax.stop_gradient(text_embd), text_lengths)
         # clamp in float first: exp() of untrained logits can overflow, and
         # float->int conversion of inf/huge values is undefined in XLA
         predicted = jnp.clip(predicted, 1.0, float(max_mel_length))

@@ -275,15 +275,17 @@ def make_inference_step(hp: HParams, model: VAENAR) -> Callable:
 
     @partial(jax.jit,
              static_argnames=("reduction_factor", "max_mel_length",
-                              "length_headroom"))
+                              "length_headroom", "use_length_quantile"))
     def inference_step(params, batch_stats, texts, t_lens, rng,
                        reduction_factor: int = 2, max_mel_length: int = 2400,
-                       temperature: float = 0.0, length_headroom: int = 80):
+                       temperature: float = 0.0, length_headroom: int = 80,
+                       use_length_quantile: bool = False):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             texts, t_lens, max_mel_length=max_mel_length,
             reduction_factor=reduction_factor, temperature=temperature,
             length_headroom=length_headroom,
+            use_length_quantile=use_length_quantile,
             method=VAENAR.infer_with_length_prediction,
             rngs={"sample": rng})
 
