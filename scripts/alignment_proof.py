@@ -61,7 +61,8 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
                  kl_weight: float | None = None,
                  kl_init: float | None = None,
                  kl_anneal_epochs: int | None = None,
-                 stages_epochs: int | None = None):
+                 stages_epochs: int | None = None,
+                 quantile: float = 0.0):
     """The SHIPPED LJ architecture/loss by default.
 
     ``latent_dim`` / ``kl_weight`` override the preset only for ablations
@@ -100,11 +101,18 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
         tr = dataclasses.replace(
             tr, kl_weight_init=kl_init,
             kl_weight_increase_epoch=kl_anneal_epochs or max(epochs // 2, 1))
+    lp = hp.length_predictor
+    if quantile:
+        # additive p-quantile head (gradient-isolated from the acoustic
+        # model, models/length_predictor.py): trains the learned per-text
+        # length headroom that --length_source quantile reads at inference
+        lp = dataclasses.replace(lp, quantile=quantile)
     hp = hp.replace(
         common=common,
         dataset=dataclasses.replace(hp.dataset, mel_bucket=mel_bucket,
                                     text_bucket=32),
         train=tr,
+        length_predictor=lp,
     )
     return hp
 
@@ -190,6 +198,12 @@ def main() -> int:
                     help="KL-annealing scaffold: start weight, linear to the "
                          "preset end weight over --kl_anneal_epochs")
     ap.add_argument("--kl_anneal_epochs", type=int, default=None)
+    ap.add_argument("--quantile", type=float, default=0.0,
+                    help="train the length predictor's p-quantile head "
+                         "alongside the mean head (0 = off, the reference "
+                         "architecture). 0.9 gives --length_source quantile "
+                         "a learned p90 to read at inference "
+                         "(PARITY.md deviation 14)")
     ap.add_argument("--stages_epochs", type=int, default=None,
                     help="pin the r-curriculum stage boundaries to this "
                          "earlier total (continuation runs: --epochs 2400 "
@@ -248,7 +262,8 @@ def main() -> int:
                       latent_dim=args.latent_dim, kl_weight=args.kl_weight,
                       kl_init=args.kl_init,
                       kl_anneal_epochs=args.kl_anneal_epochs,
-                      stages_epochs=args.stages_epochs)
+                      stages_epochs=args.stages_epochs,
+                      quantile=args.quantile)
     print(f"config: latent {hp.common.latent_dim}, kl "
           f"{hp.train.kl_weight_init} -> {hp.train.kl_weight_end} "
           f"(anneal {hp.train.kl_weight_increase_epoch} ep)")
@@ -305,6 +320,7 @@ def main() -> int:
         "corpus_version": args.corpus_version,
         "corpus": {k: stats[k] for k in ("n_train", "n_dev", "n_test")},
         "latent_dim": hp.common.latent_dim,
+        "length_quantile": hp.length_predictor.quantile,
         "kl_weight_init": hp.train.kl_weight_init,
         "kl_weight_end": hp.train.kl_weight_end,
         "kl_anneal_epochs": hp.train.kl_weight_increase_epoch,

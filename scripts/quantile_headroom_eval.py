@@ -110,6 +110,9 @@ def main() -> int:
     ap.add_argument("--n_dev", type=int, default=96)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    if not (0.0 < args.quantile < 1.0):
+        ap.error(f"--quantile must be in (0, 1), got {args.quantile} "
+                 "(the pinball loss is degenerate at the endpoints)")
 
     from vaenar_tts_tpu.configs.hparams import tiny_test_config
     from vaenar_tts_tpu.data.loader import BucketedLoader
@@ -119,12 +122,21 @@ def main() -> int:
 
     data_dir = os.path.join(args.workdir, "records")
     stats_path = os.path.join(args.workdir, "corpus_stats.json")
-    if os.path.exists(stats_path):
-        stats = json.load(open(stats_path))
-    else:
+    # the cache is keyed on the generation parameters and only valid while
+    # the records it describes still exist — a stale or orphaned stats file
+    # silently trained on the wrong corpus before (ADVICE r3)
+    cache_key = {"n_train": args.n_train, "n_dev": args.n_dev,
+                 "seed": args.seed, "version": 2}
+    stats = None
+    if os.path.exists(stats_path) and os.path.isdir(data_dir):
+        cached = json.load(open(stats_path))
+        if cached.get("cache_key") == cache_key:
+            stats = cached
+    if stats is None:
         stats = generate_corpus(data_dir, tiny_test_config(vocab_size=43),
                                 n_train=args.n_train, n_dev=args.n_dev,
                                 n_test=16, seed=args.seed, version=2)
+        stats["cache_key"] = cache_key
         os.makedirs(args.workdir, exist_ok=True)
         json.dump(stats, open(stats_path, "w"))
     hp = build_config(stats, args.epochs, args.quantile)

@@ -190,9 +190,15 @@ class VAENAR(nn.Module):
             # Dense(1) gradients, leaves every other loss term untouched
             q_lengths = self.length_predictor.quantile_lengths(
                 jax.lax.stop_gradient(text_embd), text_lengths)
-            length_loss = length_loss + pinball_log_loss(
-                q_lengths, mel_lengths, self.length_quantile,
-                reduce=reduce_loss)
+            pinball = pinball_log_loss(q_lengths, mel_lengths,
+                                       self.length_quantile,
+                                       reduce=reduce_loss)
+            # sown so the train/dev steps can report the pinball term as its
+            # own metric and keep the logged len_l2 curve comparable to
+            # reference/mean-only runs (PARITY.md deviation 14); the loss
+            # composition itself is unchanged
+            self.sow("diagnostics", "pinball", pinball)
+            length_loss = length_loss + pinball
 
         mu, logvar = self.posterior(reduced_mels, text_embd,
                                     src_lengths=text_lengths,

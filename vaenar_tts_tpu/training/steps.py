@@ -94,6 +94,12 @@ def make_train_step(hp: HParams, model: VAENAR,
 
     length_weight = hp.train.length_weight
     accum = max(1, int(getattr(hp.train, "grad_accum", 1)))
+    # static: quantile-head runs report the pinball term separately so the
+    # logged len_l2 stays comparable to mean-only/reference runs (the model
+    # sows it into "diagnostics"; ADVICE r3)
+    has_pinball = float(getattr(hp.length_predictor, "quantile", 0.0)) > 0.0
+    metric_keys = (("total", "mel_l2", "kl", "len_l2", "len_pinball")
+                   if has_pinball else ("total", "mel_l2", "kl", "len_l2"))
 
     def loss_fn(p, bstats, texts, mels, t_lens, m_lens, kl_weight,
                 k_d, k_s, reduction_factor):
@@ -103,11 +109,14 @@ def make_train_step(hp: HParams, model: VAENAR,
             reduction_factor=reduction_factor, train=True,
             reduce_loss=True,
             rngs={"dropout": k_d, "sample": k_s},
-            mutable=["batch_stats"])
+            mutable=["batch_stats", "diagnostics"])
         _dec, mel_l2, kl, len_l2, _ali = outs
         loss = (mel_l2 + kl_weight * jnp.maximum(kl, 0.0)
                 + length_weight * len_l2)
-        return loss, (mel_l2, kl, len_l2, updated["batch_stats"])
+        pinball = (updated["diagnostics"]["pinball"][-1] if has_pinball
+                   else jnp.zeros((), jnp.float32))
+        return loss, (mel_l2, kl, len_l2 - pinball, pinball,
+                      updated["batch_stats"])
 
     @partial(jax.jit, static_argnames=("reduction_factor",),
              donate_argnums=(0, 1, 2) if donate else ())
@@ -115,12 +124,14 @@ def make_train_step(hp: HParams, model: VAENAR,
                    m_lens, kl_weight, rng, reduction_factor: int = 2):
         if accum == 1:
             k_d, k_s = jax.random.split(rng)
-            (loss, (mel_l2, kl, len_l2, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(
-                    params, batch_stats, texts, mels, t_lens, m_lens,
-                    kl_weight, k_d, k_s, reduction_factor)
+            ((loss, (mel_l2, kl, len_l2, pinball, new_bs)),
+             grads) = jax.value_and_grad(loss_fn, has_aux=True)(
+                 params, batch_stats, texts, mels, t_lens, m_lens,
+                 kl_weight, k_d, k_s, reduction_factor)
             metrics = {"total": loss, "mel_l2": mel_l2, "kl": kl,
                        "len_l2": len_l2}
+            if has_pinball:
+                metrics["len_pinball"] = pinball
         else:
             B = texts.shape[0]
             assert B % accum == 0, (
@@ -136,20 +147,20 @@ def make_train_step(hp: HParams, model: VAENAR,
                 bstats, gsum, msum = carry
                 tx, me, tl, ml, i = x
                 k_d, k_s = jax.random.split(jax.random.fold_in(rng, i))
-                (loss, (mel_l2, kl, len_l2, new_bs)), g = jax.value_and_grad(
-                    loss_fn, has_aux=True)(
-                        params, bstats, tx, me, tl, ml, kl_weight,
-                        k_d, k_s, reduction_factor)
+                ((loss, (mel_l2, kl, len_l2, pinball, new_bs)),
+                 g) = jax.value_and_grad(loss_fn, has_aux=True)(
+                     params, bstats, tx, me, tl, ml, kl_weight,
+                     k_d, k_s, reduction_factor)
+                m = {"total": loss, "mel_l2": mel_l2, "kl": kl,
+                     "len_l2": len_l2}
+                if has_pinball:
+                    m["len_pinball"] = pinball
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                msum = jax.tree_util.tree_map(
-                    jnp.add, msum,
-                    {"total": loss, "mel_l2": mel_l2, "kl": kl,
-                     "len_l2": len_l2})
+                msum = jax.tree_util.tree_map(jnp.add, msum, m)
                 return (new_bs, gsum, msum), None
 
             gsum0 = jax.tree_util.tree_map(jnp.zeros_like, params)
-            msum0 = {k: jnp.zeros((), jnp.float32)
-                     for k in ("total", "mel_l2", "kl", "len_l2")}
+            msum0 = {k: jnp.zeros((), jnp.float32) for k in metric_keys}
             (new_bs, gsum, msum), _ = jax.lax.scan(
                 body, (batch_stats, gsum0, msum0), xs)
             grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
@@ -168,16 +179,17 @@ def make_dev_step(hp: HParams, model: VAENAR) -> Callable:
     (train.py:148-155, kl unclamped)."""
 
     length_weight = hp.train.length_weight
+    has_pinball = float(getattr(hp.length_predictor, "quantile", 0.0)) > 0.0
 
     @partial(jax.jit, static_argnames=("reduction_factor",))
     def dev_step(params, batch_stats, texts, mels, t_lens, m_lens, kl_weight,
                  valid_mask, rng, reduction_factor: int = 2):
         k_s = rng
-        outs = model.apply(
+        outs, updated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             texts, mels, m_lens, t_lens,
             reduction_factor=reduction_factor, train=False, reduce_loss=False,
-            rngs={"sample": k_s})
+            rngs={"sample": k_s}, mutable=["diagnostics"])
         _dec, mel_l2, kl, len_l2, _ali = outs
         n_valid = jnp.sum(valid_mask)
 
@@ -186,7 +198,13 @@ def make_dev_step(hp: HParams, model: VAENAR) -> Callable:
 
         mel_l2, kl, len_l2 = vmean(mel_l2), vmean(kl), vmean(len_l2)
         loss = mel_l2 + kl_weight * kl + length_weight * len_l2
-        return {"total": loss, "mel_l2": mel_l2, "kl": kl, "len_l2": len_l2}
+        metrics = {"total": loss, "mel_l2": mel_l2, "kl": kl,
+                   "len_l2": len_l2}
+        if has_pinball:  # report separately; len_l2 stays the pure L2 curve
+            pinball = vmean(updated["diagnostics"]["pinball"][-1])
+            metrics["len_pinball"] = pinball
+            metrics["len_l2"] = len_l2 - pinball
+        return metrics
 
     return dev_step
 
