@@ -60,8 +60,20 @@ def main() -> int:
                          "headline uses 1; the coverage term exists to "
                          "break exactly that tie and awaits re-measurement "
                          "on a trained checkpoint")
+    ap.add_argument("--length_source", default="mean",
+                    choices=("mean", "quantile", "auto"),
+                    help="length head the CLI reads (cli.inference "
+                         "--length_source): 'mean' is the reference "
+                         "behavior and the headline; 'quantile' reads the "
+                         "learned p-quantile head (checkpoint must be "
+                         "trained with hp.length_predictor.quantile > 0) "
+                         "— the anti-truncation feature under test")
+    ap.add_argument("--out_name", default=None,
+                    help="result/mel subdirectory + json name (default "
+                         "derived from --takes/--length_source so variant "
+                         "runs don't clobber each other)")
     ap.add_argument("--skip_cli", action="store_true",
-                    help="reuse mels already written to <workdir>/freetext")
+                    help="reuse mels already written to the variant dir")
     args = ap.parse_args()
 
     from vaenar_tts_tpu.audio.dsp import AudioProcessor
@@ -74,7 +86,11 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     texts = [random_text(rng) for _ in range(args.n)]
 
-    out_dir = os.path.join(args.workdir, "freetext")
+    variant = args.out_name or (
+        f"takes{args.takes}_{args.length_source}"
+        if (args.takes > 1 or args.length_source != "mean") else "freetext")
+    out_dir = os.path.join(args.workdir,
+                           variant if variant != "freetext" else "freetext")
     os.makedirs(out_dir, exist_ok=True)
     lines_path = os.path.join(out_dir, "lines.txt")
     with open(lines_path, "w") as f:
@@ -86,7 +102,8 @@ def main() -> int:
                "--dataset", "ljspeech", "--text", lines_path,
                "--model_dir", os.path.join(args.workdir, "ckpt"),
                "--test_dir", out_dir, "--write_mels",
-               "--takes", str(args.takes)]
+               "--takes", str(args.takes),
+               "--length_source", args.length_source]
         print("running:", " ".join(cmd), flush=True)
         subprocess.run(cmd, cwd=REPO, check=True)
 
@@ -126,13 +143,16 @@ def main() -> int:
     result = {
         "n_texts": len(texts),
         "takes": args.takes,
+        "length_source": args.length_source,
         "synthesis_ler": round(mean_ler, 3),
         "decoder_floor_ler": round(mean_floor, 3),
         "max_ler": args.max_ler,
         "pass": bool(mean_ler <= args.max_ler),
         "rows": rows,
     }
-    out = os.path.join(args.workdir, "freetext_eval.json")
+    out = os.path.join(args.workdir,
+                       "freetext_eval.json" if variant == "freetext"
+                       else f"freetext_eval_{variant}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items() if k != "rows"}))

@@ -110,6 +110,40 @@ class TestCLISurface:
                         "--test_dir", out])
         assert any(f.endswith(".wav") for f in os.listdir(out))
 
+    def test_inference_from_npz_export(self, workspace, capsys):
+        """A model_dir holding only {export.npz, hparams.json} (the portable
+        trained-artifact form, scripts/export_checkpoint.py) synthesizes
+        through the same CLI path as an Orbax workdir."""
+        import shutil
+
+        from vaenar_tts_tpu.cli import inference
+        from vaenar_tts_tpu.utils.export import export_model_dir
+
+        model_dir = str(workspace / "ckpt")
+        export_dir = workspace / "export_only"
+        export_dir.mkdir()
+        export_model_dir(model_dir, str(export_dir / "export.npz"),
+                         store_dtype="float16")
+        shutil.copy2(os.path.join(model_dir, "hparams.json"),
+                     str(export_dir / "hparams.json"))
+        lines = workspace / "lines_export.txt"
+        lines.write_text("Hello exported world.\n")
+        out = str(workspace / "freetext_export")
+        inference.main(["--dataset", "ljspeech", "--text", str(lines),
+                        "--model_dir", str(export_dir), "--test_dir", out])
+        assert any(f.endswith(".wav") for f in os.listdir(out))
+
+        # a model_dir with no checkpoint in either format errors clearly,
+        # naming both (tiny hparams.json keeps the probe's model init fast)
+        empty = workspace / "empty_model_dir"
+        empty.mkdir()
+        shutil.copy2(os.path.join(model_dir, "hparams.json"),
+                     str(empty / "hparams.json"))
+        with pytest.raises(FileNotFoundError, match="export.npz"):
+            inference.main(["--dataset", "ljspeech", "--text", str(lines),
+                            "--model_dir", str(empty), "--test_dir", out,
+                            *TINY_OVERRIDES[:0]])
+
     def test_free_text_multi_take(self, workspace, capsys):
         """--takes N synthesizes N z-samples per line and keeps the most
         monotonic-attention take (reference-free selection); mels + wavs +

@@ -67,7 +67,17 @@ def load_model_state(hp, model_dir: str, compute_dtype: str | None = None):
     r = mgr.restore(full)
     mgr.close()
     if r is None:
-        raise FileNotFoundError(f"no checkpoint found in {model_dir}")
+        # portable single-file export fallback (utils/export.py): how trained
+        # artifacts are shipped/versioned without the Orbax workdir
+        from ..utils.export import EXPORT_NAME, load_npz
+        export_path = os.path.join(model_dir, EXPORT_NAME)
+        if os.path.exists(export_path):
+            import chex
+            r = load_npz(export_path)
+            chex.assert_trees_all_equal_structs(r["params"], params)
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint (Orbax) or {EXPORT_NAME} found in {model_dir}")
     return hp, model, r["params"], r["batch_stats"], int(r["epoch"])
 
 

@@ -82,9 +82,22 @@ def parse_cn_prosody_label(text: str, pinyin_seq: str,
     return py_seq
 
 
+#: a line that is already space-separated TONE3 pinyin (syllable + optional
+#: tone digit, neutral tone = 5), e.g. "ni3 hao3 shi4 jie4"
+_PINYIN_LINE = re.compile(r"^[a-zA-Z]+[1-5]?(\s+[a-zA-Z]+[1-5]?)*$")
+
+
 def text_to_pinyin(text: str) -> str:
     """Free-text Mandarin -> space-separated TONE3 pinyin
-    (reference datasets.py:365-378). Requires pypinyin."""
+    (reference datasets.py:365-378). Hanzi input requires pypinyin; input
+    that is ALREADY romanized TONE3 pinyin ("ni3 hao3") passes through
+    unchanged (lowercased), so free-text synthesis works without the
+    optional dependency for users who provide pinyin directly — a benign
+    extension over the reference, which only accepts hanzi here
+    (PARITY.md deliberate deviations)."""
+    stripped = text.strip()
+    if _PINYIN_LINE.match(stripped):
+        return " ".join(stripped.lower().split())
     try:
         from pypinyin import Style, pinyin  # type: ignore
     except ImportError as e:  # pragma: no cover - environment-dependent
