@@ -101,3 +101,49 @@ class TestSerialize:
     def test_missing_returns_none(self, tmp_path):
         from vaenar_tts_tpu.configs.serialize import load_hparams
         assert load_hparams(str(tmp_path)) is None
+
+
+class TestTuningKnobs:
+    """hp.train.ring_min_seq / pallas_min_score_elements are the config
+    form of the ring/Pallas crossovers (VERDICT r3 #7): --override-reachable
+    and honored by the trace-time kernel selection."""
+
+    def test_override_reachable(self):
+        hp = apply_overrides(get_config("ljspeech"),
+                             ["train.ring_min_seq=0",
+                              "train.pallas_min_score_elements=123"])
+        assert hp.train.ring_min_seq == 0
+        assert hp.train.pallas_min_score_elements == 123
+
+    def test_pallas_profitable_honors_override(self):
+        from vaenar_tts_tpu.ops.flash_attention import (
+            PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM, pallas_profitable)
+        t = 64  # far below every measured table entry
+        assert not pallas_profitable(t, t, 64)
+        assert pallas_profitable(t, t, 64, min_elements=1)
+        assert not pallas_profitable(t, t, 64, min_elements=10 ** 9)
+        # None/0 fall back to the measured table
+        big = max(PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM.values())
+        assert pallas_profitable(4096, big // 4096 + 1, 64, min_elements=None)
+
+    def test_tuning_threads_to_kernel_selection(self):
+        """A pallas_min_score_elements=1 config makes use_pallas='auto'
+        take the fused path even at tiny shapes — observable because the
+        fused path does not materialize alignments."""
+        import jax
+        import jax.numpy as jnp
+
+        from vaenar_tts_tpu.models.attention import (AttentionTuning,
+                                                     MultiHeadAttention)
+
+        x = jnp.ones((2, 16, 8), jnp.float32)
+        lens = jnp.array([16, 12])
+
+        def run(tuning):
+            mha = MultiHeadAttention(8, 2, use_pallas="auto", tuning=tuning)
+            params = mha.init(jax.random.key(0), x, x, lens, lens)
+            _, ali = mha.apply(params, x, x, lens, lens)
+            return ali
+
+        assert run(None) is not None  # table says XLA at tiny shapes
+        assert run(AttentionTuning(pallas_min_score_elements=1)) is None

@@ -81,15 +81,18 @@ def test_tp_sharding_rules_only_hit_wide_kernels():
     assert sharded == []
 
 
-def test_ring_sequence_parallel_full_model_matches(monkeypatch):
+def test_ring_sequence_parallel_full_model_matches():
     """VAENAR with seq_mesh set (every eligible self-attention on the
     ppermute ring, time sharded over 'model') must match the plain model's
-    losses AND gradients — same params, different schedule."""
-    import vaenar_tts_tpu.parallel.ring_attention as ra
-    monkeypatch.setattr(ra, "RING_MIN_SEQ", 0)  # tiny shapes must still ring
+    losses AND gradients — same params, different schedule. ring_min_seq=0
+    through the CONFIG knob (hp.train.ring_min_seq, threaded as
+    AttentionTuning) makes the tiny shapes ring — also proving the knob
+    reaches every attention site."""
+    import dataclasses
+    ring_hp = HP.replace(train=dataclasses.replace(HP.train, ring_min_seq=0))
     mesh = make_mesh(data=4, model=2)
     plain = VAENAR(HP)
-    ringed = VAENAR(HP, seq_mesh=mesh)
+    ringed = VAENAR(ring_hp, seq_mesh=mesh)
     params, batch_stats = init_model(HP, plain, 0, T_TEXT, T_MEL)
     texts, mels, t_lens, m_lens = _batch(seed=7)
     rng = jax.random.key(5)

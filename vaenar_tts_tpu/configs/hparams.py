@@ -74,6 +74,20 @@ class TrainConfig:
     # BatchNorm moments are per micro-batch - both identical in the trained
     # regime (kl > 0) up to reassociation. Batch size must divide evenly.
     grad_accum: int = 1
+    # Measured-crossover tuning thresholds, config-visible so benchmarks,
+    # the driver dryrun and deployments can move them without touching
+    # module globals (VERDICT r3 #7). Both are trace-time statics threaded
+    # to the attention modules as models.attention.AttentionTuning.
+    # ring_min_seq: minimum self-attention sequence length for the ppermute
+    # ring (parallel/ring_attention.py) to beat one local fused attention;
+    # unmeasurable without real multi-chip ICI, kept at the analytical
+    # default. 0 forces the ring whenever shapes divide the mesh.
+    ring_min_seq: int = 1024
+    # pallas_min_score_elements: tq*tk above which "auto" picks the fused
+    # Pallas kernel. 0 = use the measured per-head_dim table
+    # (ops/flash_attention.PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM); >0
+    # overrides it globally.
+    pallas_min_score_elements: int = 0
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
     # reference saves every epoch (train.py:304-306); raise when epochs are

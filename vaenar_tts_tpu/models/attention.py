@@ -19,6 +19,7 @@ selected with ``use_pallas`` when shapes qualify.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Any, Optional, Tuple
 
@@ -91,6 +92,20 @@ def masked_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return contexts.astype(v.dtype), alignments
 
 
+@dataclasses.dataclass(frozen=True)
+class AttentionTuning:
+    """Measured performance-crossover thresholds, threaded from config
+    (hp.train.ring_min_seq / hp.train.pallas_min_score_elements,
+    configs/hparams.py) down to every attention site as ONE static field.
+    ``None`` entries fall back to the module defaults
+    (parallel/ring_attention.RING_MIN_SEQ, the measured per-head_dim table
+    in ops/flash_attention.py). Shapes are static under jit, so these only
+    steer trace-time kernel selection — never runtime control flow."""
+
+    ring_min_seq: Optional[int] = None
+    pallas_min_score_elements: Optional[int] = None
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head scaled-dot-product attention with length + causal masking
     (reference attention.py:149-246).
@@ -114,6 +129,7 @@ class MultiHeadAttention(nn.Module):
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
     ring_batch_axis: Optional[str] = "data"
+    tuning: Optional[AttentionTuning] = None
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None,
@@ -140,7 +156,9 @@ class MultiHeadAttention(nn.Module):
         use_ring = False
         if self.ring_mesh is not None and inputs is memory:
             from ..parallel.ring_attention import ring_eligible
-            use_ring = ring_eligible(self.ring_mesh, self.ring_axis, tq, tk)
+            use_ring = ring_eligible(
+                self.ring_mesh, self.ring_axis, tq, tk,
+                min_seq=self.tuning.ring_min_seq if self.tuning else None)
             if (query_lengths is not None and memory_lengths is not None
                     and query_lengths is not memory_lengths):
                 # the ring carries ONE length per sequence (self-attention);
@@ -151,7 +169,10 @@ class MultiHeadAttention(nn.Module):
             use_fused = True
         elif self.use_pallas == "auto":
             from ..ops.flash_attention import pallas_profitable
-            use_fused = pallas_profitable(tq, tk, head_dim)
+            use_fused = pallas_profitable(
+                tq, tk, head_dim,
+                min_elements=(self.tuning.pallas_min_score_elements
+                              if self.tuning else None))
         elif self.use_pallas in (False, "off", None):
             use_fused = False
         else:
@@ -201,6 +222,7 @@ class SelfAttentionBlock(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[AttentionTuning] = None
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None,
@@ -209,7 +231,7 @@ class SelfAttentionBlock(nn.Module):
             self.attention_dim, self.attention_heads,
             self.attention_temperature, dtype=self.dtype,
             use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
-            ring_axis=self.ring_axis, name="attention")(
+            ring_axis=self.ring_axis, tuning=self.tuning, name="attention")(
             inputs, memory, query_lengths, memory_lengths, causal=causal)
         contexts = jnp.concatenate([inputs, att_outs], axis=-1)
         projected = nn.Dense(self.input_dim, dtype=self.dtype,
@@ -235,6 +257,7 @@ class CrossAttentionBlock(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[AttentionTuning] = None
 
     @nn.compact
     def __call__(self, inputs, memory, query_lengths=None, memory_lengths=None):
@@ -242,7 +265,8 @@ class CrossAttentionBlock(nn.Module):
             self.attention_dim, self.attention_heads,
             self.attention_temperature, dtype=self.dtype,
             use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
-            ring_axis=self.ring_axis, name="self_attention")(
+            ring_axis=self.ring_axis, tuning=self.tuning,
+            name="self_attention")(
             inputs, inputs, query_lengths, query_lengths, causal=True)
         contexts = jnp.concatenate([inputs, self_att], axis=-1)
         h = nn.Dense(self.input_dim, dtype=self.dtype, name="att_proj1")(contexts)
@@ -251,7 +275,8 @@ class CrossAttentionBlock(nn.Module):
         cross_att, cross_ali = MultiHeadAttention(
             self.attention_dim, self.attention_heads,
             self.attention_temperature, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="cross_attention")(
+            use_pallas=self.use_pallas, tuning=self.tuning,
+            name="cross_attention")(
             h, memory, query_lengths, memory_lengths, causal=False)
         if cross_ali is not None:
             # captured only when callers make "intermediates" mutable (e.g.

@@ -37,6 +37,7 @@ class TransformerDecoder(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     @nn.compact
@@ -58,7 +59,7 @@ class TransformerDecoder(nn.Module):
                 attention_temperature=self.temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
                 use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
-                ring_axis=self.ring_axis,
+                ring_axis=self.ring_axis, tuning=self.tuning,
                 name=f"decoder_attention_{i}")(
                 x, text_embd, query_lengths=z_lengths,
                 memory_lengths=text_lengths)

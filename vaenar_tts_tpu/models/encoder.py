@@ -37,6 +37,7 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     @nn.compact
@@ -63,7 +64,7 @@ class TransformerEncoder(nn.Module):
                 attention_temperature=self.attention_temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
                 use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
-                ring_axis=self.ring_axis,
+                ring_axis=self.ring_axis, tuning=self.tuning,
                 name=f"self_attention{i}")(
                 x, x, query_lengths=input_lengths,
                 memory_lengths=input_lengths)

@@ -138,6 +138,7 @@ class TransformerTransform(nn.Module):
     dtype: Any = jnp.float32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     @nn.compact
@@ -159,7 +160,7 @@ class TransformerTransform(nn.Module):
                 ffn_hidden=self.ffn_hidden,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
-                ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+                ring_mesh=self.ring_mesh, ring_axis=self.ring_axis, tuning=self.tuning,
                 name=f"attention_{i}")(
                 x, condition_inputs, query_lengths=target_lengths,
                 memory_lengths=condition_lengths)
@@ -185,6 +186,7 @@ class TransformerCoupling(nn.Module):
     dtype: Any = jnp.float32  # conditioning-net compute dtype; affine is fp32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     def setup(self):
@@ -194,7 +196,7 @@ class TransformerCoupling(nn.Module):
             attention_heads=self.attention_heads, temperature=self.temperature,
             ffn_hidden=self.ffn_hidden, out_dim=self.channels // 2,
             use_pallas=self.use_pallas, dtype=self.dtype,
-            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis,
+            ring_mesh=self.ring_mesh, ring_axis=self.ring_axis, tuning=self.tuning,
             remat=self.remat)
 
     def __call__(self, inputs, condition_inputs, inputs_lengths=None,

@@ -84,6 +84,7 @@ class TransformerPosterior(nn.Module):
     use_pallas: bool = False
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     @nn.compact
@@ -107,7 +108,7 @@ class TransformerPosterior(nn.Module):
                 attention_temperature=self.temperature,
                 ffn_hidden=self.ffn_hidden, dtype=self.dtype,
                 use_pallas=self.use_pallas, ring_mesh=self.ring_mesh,
-                ring_axis=self.ring_axis,
+                ring_axis=self.ring_axis, tuning=self.tuning,
                 name=f"attention_{i}")(
                 x, src_enc, query_lengths=target_lengths,
                 memory_lengths=src_lengths)

@@ -40,6 +40,7 @@ class TransformerPrior(nn.Module):
     dtype: Any = jnp.float32  # coupling-net compute dtype; flow math is fp32
     ring_mesh: Optional[Any] = None
     ring_axis: str = "model"
+    tuning: Optional[Any] = None
     remat: Any = "off"
 
     def setup(self):
@@ -56,7 +57,7 @@ class TransformerPrior(nn.Module):
                 temperature=self.temperature, ffn_hidden=self.ffn_hidden,
                 order=orders[i % 2], use_pallas=self.use_pallas,
                 dtype=self.dtype, ring_mesh=self.ring_mesh,
-                ring_axis=self.ring_axis, remat=self.remat,
+                ring_axis=self.ring_axis, tuning=self.tuning, remat=self.remat,
                 name=f"transformerCoupling{i}"))
         self.actnorms = actnorms
         self.linears = linears

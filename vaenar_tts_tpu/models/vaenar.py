@@ -64,8 +64,13 @@ class VAENAR(nn.Module):
             if use_pallas.lower() not in mapping:
                 raise ValueError(f"use_pallas_attention={use_pallas!r}")
             use_pallas = mapping[use_pallas.lower()]
+        from .attention import AttentionTuning
+        tuning = AttentionTuning(
+            ring_min_seq=hp.train.ring_min_seq,
+            pallas_min_score_elements=(
+                hp.train.pallas_min_score_elements or None))
         ring = dict(ring_mesh=self.seq_mesh, ring_axis=self.seq_axis,
-                    remat=hp.train.remat)
+                    remat=hp.train.remat, tuning=tuning)
         self.n_sample = hp.train.num_samples
         self.mel_text_len_ratio = hp.common.mel_text_len_ratio
         self.max_reduction_factor = hp.common.max_reduction_factor

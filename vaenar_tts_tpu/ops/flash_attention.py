@@ -64,12 +64,17 @@ PALLAS_MIN_SCORE_ELEMENTS = PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM[64]
 FULL_KV_MAX_LENGTH = 4096
 
 
-def pallas_profitable(tq: int, tk: int, head_dim: int = 64) -> bool:
+def pallas_profitable(tq: int, tk: int, head_dim: int = 64,
+                      min_elements: Optional[int] = None) -> bool:
     """Static (trace-time) auto-selection rule for ``use_pallas='auto'``.
 
     The threshold is per-head_dim (measured table above); an unmeasured
     head_dim borrows the nearest measured one, which keeps the rule
-    conservative around the flagship geometries instead of extrapolating."""
+    conservative around the flagship geometries instead of extrapolating.
+    ``min_elements`` (hp.train.pallas_min_score_elements via
+    models.attention.AttentionTuning) overrides the table globally when set."""
+    if min_elements is not None and min_elements > 0:
+        return tq * tk >= min_elements
     nearest = min(PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM,
                   key=lambda d: abs(d - head_dim))
     return tq * tk >= PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM[nearest]
