@@ -95,3 +95,61 @@ class TestStreamingVocoder:
         w = StreamingVocoder(ap, chunk_frames=64).synthesize(
             mel, np.random.default_rng(2))
         assert np.isfinite(w).all()
+
+
+class TestDeviceBackend:
+    """backend='device' (jitted fixed-bucket GL window kernel,
+    ops/griffin_lim.py::gl_window_fn) must deliver the same streaming
+    contract as the host backend: exact lengths, continuous seams, and
+    whole-utterance-grade quality. Runs on the CPU JAX backend here; the
+    chip measurement lives in VOCODER.md."""
+
+    def test_lengths_and_quality_match_host_contract(self, cfg):
+        ap = AudioProcessor(cfg)
+        mel, y = _mel(ap, cfg)
+        w_full = ap.inv_preemphasize(
+            ap.inv_mel_spectrogram(mel.T, np.random.default_rng(0)))
+        sv = StreamingVocoder(ap, chunk_frames=100, context_frames=16,
+                              backend="device")
+        w_stream = sv.synthesize(mel, np.random.default_rng(0))
+        assert len(w_stream) == len(w_full)
+
+        ref = np.abs(ap._stft(ap.preemphasize(y)))
+
+        def err(w):
+            m = np.abs(ap._stft(ap.preemphasize(np.asarray(w, np.float64))))
+            k = min(m.shape[1], ref.shape[1])
+            return (np.linalg.norm(ref[:, :k] - m[:, :k])
+                    / np.linalg.norm(ref[:, :k]))
+
+        assert err(w_stream) <= err(w_full) * 1.05 + 1e-6
+
+    def test_device_close_to_host_stream(self, cfg):
+        """Same initial phase field -> the two backends converge to nearly
+        the same waveform (they share the iteration math; edge analysis
+        differs only in re-analysis padding)."""
+        ap = AudioProcessor(cfg)
+        mel, _ = _mel(ap, cfg, dur=0.6)
+        host = StreamingVocoder(ap, chunk_frames=64, context_frames=8)
+        dev = StreamingVocoder(ap, chunk_frames=64, context_frames=8,
+                               backend="device")
+        wh = host.synthesize(mel, np.random.default_rng(3))
+        wd = dev.synthesize(mel, np.random.default_rng(3))
+        assert len(wh) == len(wd)
+        # correlation, not allclose: GL fixed points can drift apart a bit
+        c = np.corrcoef(wh, wd)[0, 1]
+        assert c > 0.95, c
+
+    def test_deterministic(self, cfg):
+        ap = AudioProcessor(cfg)
+        mel, _ = _mel(ap, cfg, dur=0.4)
+        sv = StreamingVocoder(ap, chunk_frames=50, context_frames=8,
+                              backend="device")
+        a = sv.synthesize(mel, np.random.default_rng(7))
+        b = sv.synthesize(mel, np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+
+    def test_bad_backend_rejected(self, cfg):
+        ap = AudioProcessor(cfg)
+        with pytest.raises(ValueError, match="backend"):
+            StreamingVocoder(ap, backend="gpu")

@@ -168,16 +168,23 @@ class TestUtils:
     def synthesize_and_save_wavs_streaming(self, tag, mel_batch: np.ndarray,
                                            mel_lengths, ids, prefix: str = "",
                                            seed: int = 0,
-                                           chunk_frames: int = 100):
+                                           chunk_frames: int = 100,
+                                           backend: str = "auto"):
         """Streaming chunked vocoder (audio/streaming.py): audio is produced
         incrementally per chunk instead of per utterance. Returns
         ``(paths, ttfa_seconds)`` where ttfa is each utterance's
         time-to-first-audio — the interactive-latency metric the
-        whole-utterance reference path (audio/utils.py:24-40) cannot bound."""
+        whole-utterance reference path (audio/utils.py:24-40) cannot bound.
+        ``backend``: "host"/"device" GL windows, or "auto" = device whenever
+        the attached accelerator passes the capability probe (the measured
+        ~25x window speedup moves TTFA from GL-bound to dispatch-bound)."""
         import time
 
         from .streaming import StreamingVocoder
-        sv = StreamingVocoder(self.audio, chunk_frames=chunk_frames)
+        if backend == "auto":
+            backend = "device" if device_vocoder_capable() else "host"
+        sv = StreamingVocoder(self.audio, chunk_frames=chunk_frames,
+                              backend=backend)
         paths, ttfas = [], []
         for i in range(len(mel_batch)):
             mel = mel_batch[i][: int(mel_lengths[i])]

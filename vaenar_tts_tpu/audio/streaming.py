@@ -22,6 +22,14 @@ pieces as each chunk converges:
 Time-to-first-audio ≈ (chunk+context)/total of the full vocode cost; with the
 default 100-frame chunks on LJSpeech-length utterances that is ~6x below
 whole-utterance vocoding (measured in scripts/bench_vocoder.py).
+
+Backends: ``backend="host"`` runs each window through the NumPy
+``dsp.gl_core``; ``backend="device"`` runs it through the jitted
+fixed-shape window kernel (ops/griffin_lim.py::gl_window_fn) — the same
+MXU Griffin-Lim formulation the whole-utterance device vocoder uses, with
+caller-provided initial phase and converged-phase output so cross-chunk
+propagation is identical. All windows pad to ONE static bucket
+(chunk + 2*context frames), so the device pays a single compile.
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ class StreamingVocoder:
 
     def __init__(self, ap: AudioProcessor, chunk_frames: int = 100,
                  context_frames: int = 24, crossfade_samples: int = 256,
-                 iters: Optional[int] = None):
+                 iters: Optional[int] = None, backend: str = "host"):
         if chunk_frames < 1:
             raise ValueError("chunk_frames must be >= 1")
         if context_frames < 1:
@@ -60,12 +68,48 @@ class StreamingVocoder:
                 "StreamingVocoder assumes center=True STFT geometry "
                 "(sample offsets are frame*hop); center=False configs must "
                 "use the whole-utterance vocoder")
+        if backend not in ("host", "device"):
+            raise ValueError(f"backend must be 'host' or 'device', "
+                             f"got {backend!r}")
         self.ap = ap
         self.cfg = ap.cfg
         self.chunk = chunk_frames
         self.ctx = context_frames
         self.xfade = crossfade_samples
         self.iters = self.cfg.griffin_lim_iters if iters is None else iters
+        self.backend = backend
+        if backend == "device":
+            # one static window bucket (chunk + both contexts) -> ONE compile
+            # for every chunk of every utterance; shorter edge windows are
+            # zero-padded and masked inside the kernel (ops/griffin_lim.py
+            # gl_window_fn), so the valid region matches an unpadded run
+            from ..ops.griffin_lim import gl_window_fn
+            self._w_bucket = chunk_frames + 2 * context_frames
+            self._dev_fn = gl_window_fn(
+                self.cfg.n_fft, self.cfg.frame_shift_sample,
+                self.cfg.frame_length_sample, self._w_bucket, self.iters)
+
+    def _gl_window(self, mag_w: np.ndarray, init: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+        """One GL window -> (center-trimmed signal, converged phases),
+        host (dsp.gl_core) or device (ops/griffin_lim.gl_window_fn)."""
+        cfg = self.cfg
+        if self.backend == "host":
+            return gl_core(mag_w, init, cfg.n_fft, cfg.frame_shift_sample,
+                           cfg.frame_length_sample, self.iters, cfg.center)
+        import numpy as _np
+        w_true, n_bins = mag_w.shape
+        wb = self._w_bucket
+        pad = wb - w_true
+        mag_p = _np.pad(mag_w, ((0, pad), (0, 0)))
+        re0 = _np.pad(init.real.astype(_np.float32), ((0, pad), (0, 0)))
+        im0 = _np.pad(init.imag.astype(_np.float32), ((0, pad), (0, 0)))
+        y, re_f, im_f = self._dev_fn(mag_p, re0, im0, w_true)
+        hop = cfg.frame_shift_sample
+        y = _np.asarray(y, _np.float32)[: hop * (w_true - 1)]
+        fin = (_np.asarray(re_f[:w_true])
+               + 1j * _np.asarray(im_f[:w_true])).astype(_np.complex64)
+        return y, fin
 
     def stream(self, mel: np.ndarray,
                rng: np.random.Generator | None = None
@@ -115,8 +159,7 @@ class StreamingVocoder:
                 # left-context frames [ws, s): converged phases of the
                 # previous window
                 init[: s - ws] = prev_angles[ws - prev_ws: s - prev_ws]
-            y, fin = gl_core(mag[ws:we], init, cfg.n_fft, hop,
-                             cfg.frame_length_sample, self.iters, cfg.center)
+            y, fin = self._gl_window(mag[ws:we], init)
             # window signal y covers absolute samples [ws*hop, ws*hop+len(y))
             lo = (s - ws) * hop  # emit region starts at frame s
             hi = min(lo + (e - s) * hop, len(y),

@@ -180,9 +180,13 @@ def inference_test(args) -> None:
                     epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
                     ids, args.neural_vocoder, prefix="prior")
             elif args.stream_wavs:
+                # --jax_vocoder/--host_vocoder steer the streaming GL
+                # window backend too; default probes the device
+                sb = ("device" if args.jax_vocoder
+                      else "host" if args.host_vocoder else "auto")
                 _, ttfas = tester.synthesize_and_save_wavs_streaming(
                     epoch, mels[:batch.n_valid], pred_lens[:batch.n_valid],
-                    ids, prefix="prior")
+                    ids, prefix="prior", backend=sb)
                 print(f"streaming vocoder: time-to-first-audio "
                       f"mean {np.mean(ttfas):.3f}s max {np.max(ttfas):.3f}s "
                       f"over {len(ttfas)} utterances")

@@ -112,6 +112,16 @@ def _overlap_add_concat(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return y.reshape(B, (n_frames + k - 1) * hop)
 
 
+@functools.lru_cache(maxsize=4)
+def _padded_window_sq(n_fft: int, win_length: int) -> np.ndarray:
+    """Center-padded hann window squared, [n_fft] fp32 (the per-frame
+    energy envelope that _window_sumsquare accumulates)."""
+    w = np.zeros(n_fft)
+    lpad = (n_fft - win_length) // 2
+    w[lpad:lpad + win_length] = hann_window(win_length)
+    return (w ** 2).astype(np.float32)
+
+
 def _istft_ola(spec_ri: jnp.ndarray, n_fft: int, hop: int, win_length: int,
                n_frames: int, ola_mode: str = "sliceadd") -> jnp.ndarray:
     """[B, 2*bins, F] -> [B, n_fft + hop*(F-1)] (center padding NOT trimmed),
@@ -167,6 +177,69 @@ def griffin_lim_jax(magnitudes: jnp.ndarray, cfg: AudioConfig,
     re, im = jax.lax.fori_loop(0, n_iters, body, (re, im))
     y = ola(re, im)
     return y[:, n_fft // 2: y.shape[1] - n_fft // 2]
+
+
+@functools.lru_cache(maxsize=8)
+def gl_window_fn(n_fft: int, hop: int, win_length: int, n_frames: int,
+                 n_iters: int, ola_mode: str = "sliceadd"):
+    """Jitted streaming Griffin-Lim WINDOW kernel (device backend of
+    audio/streaming.StreamingVocoder): one fixed-shape window of
+    ``n_frames`` mel-frame magnitudes iterates on device with a CALLER-
+    PROVIDED initial phase and returns the converged phase, so consecutive
+    chunks can propagate phase exactly like the host ``dsp.gl_core`` path.
+
+    Returned callable:
+        fn(mag [W, bins] fp32, re0 [W, bins], im0 [W, bins], n_valid i32)
+          -> (y [hop*(W-1)] center-trimmed, re_f [W, bins], im_f [W, bins])
+
+    ``n_valid`` masks the right-padding frames a shorter-than-bucket window
+    arrives with: their magnitudes are zeroed AND the NOLA normalization is
+    computed over valid frames only (a dynamic-mask overlap-add of the
+    window-energy envelope), so the valid region normalizes exactly as an
+    unpadded window would — static shapes for XLA, host-exact edges.
+    Iteration math matches griffin_lim_jax (same _stft_ri/_istft_ola
+    MXU formulation, fp32, lax.fori_loop)."""
+    n_bins = 1 + n_fft // 2
+    total = n_fft + hop * (n_frames - 1)
+    basis = _idft_filters(n_fft, win_length)[:, 0, :]  # [2*bins, n_fft]
+    ola = (_overlap_add_concat if ola_mode == "concat"
+           else _overlap_add_sliceadd)
+
+    @jax.jit
+    def fn(mag: jnp.ndarray, re0: jnp.ndarray, im0: jnp.ndarray,
+           n_valid: jnp.ndarray):
+        mask = (jnp.arange(n_frames) < n_valid).astype(jnp.float32)
+        mag_m = (mag * mask[:, None]).T[None]  # [1, bins, W]
+
+        # NOLA normalization over VALID frames only
+        w2 = jnp.asarray(_padded_window_sq(n_fft, win_length))
+        wss = ola(w2[None, None, :] * mask[None, :, None], hop)[:, :total]
+        wss = jnp.where(wss < 1e-11, 1.0, wss)
+
+        def synth(re, im):
+            spec_ri = jnp.concatenate([re, im], axis=1)  # [1, 2b, W]
+            frames = jnp.einsum("bcf,cn->bfn", spec_ri, jnp.asarray(basis),
+                                precision=jax.lax.Precision.HIGHEST)
+            return ola(frames, hop)[:, :total] / wss
+
+        re = mag_m * re0.T[None]
+        im = mag_m * im0.T[None]
+
+        def body(_, carry):
+            re, im = carry
+            y = synth(re, im)
+            spec = _stft_ri(y, n_fft, hop, win_length)
+            re_n, im_n = spec[:, :n_bins, :], spec[:, n_bins:, :]
+            norm = jnp.sqrt(re_n ** 2 + im_n ** 2 + 1e-12)
+            return mag_m * re_n / norm, mag_m * im_n / norm
+
+        re, im = jax.lax.fori_loop(0, n_iters, body, (re, im))
+        y = synth(re, im)[0, n_fft // 2: total - n_fft // 2]
+        norm = jnp.sqrt(re ** 2 + im ** 2)
+        unit = jnp.where(norm > 1e-16, 1.0 / jnp.maximum(norm, 1e-16), 0.0)
+        return y, (re * unit)[0].T, (im * unit)[0].T
+
+    return fn
 
 
 def mel_to_wav_jax(mel: jnp.ndarray, cfg: AudioConfig, rng: jax.Array,
