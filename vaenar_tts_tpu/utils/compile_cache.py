@@ -20,3 +20,13 @@ def setup_compile_cache() -> None:
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    # JAX_PLATFORM_NAME=cpu must mean CPU-ONLY: with just the env var, jax
+    # still INSTANTIATES every registered plugin backend — including the
+    # axon TPU client, which opens a second connection to a chip another
+    # process may be training on (measured: a concurrent CPU-intended CLI
+    # stalled a live training job for ~20 min). The sitecustomize hook
+    # clobbers the JAX_PLATFORMS env var, but the config knob set after
+    # import wins and keeps the TPU client from ever being created.
+    if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
