@@ -22,6 +22,11 @@ import numpy as np
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vaenar_tts_tpu.utils.compile_cache import setup_compile_cache
+setup_compile_cache()  # also pins jax_platforms=cpu under JAX_PLATFORM_NAME=cpu
+                       # so --device_stream on a CPU run can't open a second
+                       # TPU connection under a live training job (CLAUDE.md)
+
 from vaenar_tts_tpu.audio.dsp import AudioProcessor
 from vaenar_tts_tpu.audio.streaming import StreamingVocoder
 from vaenar_tts_tpu.configs import get_config
@@ -32,6 +37,11 @@ def main() -> None:
     ap_args.add_argument("--dur", type=float, default=8.0,
                          help="seconds of audio per utterance")
     ap_args.add_argument("--utts", type=int, default=8)
+    ap_args.add_argument("--device_stream", action="store_true",
+                         help="also time the device-backend streaming "
+                              "vocoder (jitted GL window kernel, "
+                              "ops/griffin_lim.py::gl_window_fn) — run on "
+                              "the attached chip (VERDICT r3 #6)")
     args = ap_args.parse_args()
 
     cfg = get_config("ljspeech").audio
@@ -55,14 +65,28 @@ def main() -> None:
     t_fast = timed(lambda: ap.inv_mel_spectrogram(
         mel.T, np.random.default_rng(0)))
 
-    sv = StreamingVocoder(ap)
-    t0 = time.perf_counter()
-    it = sv.stream(mel, np.random.default_rng(0))
-    next(it)
-    ttfa = time.perf_counter() - t0
-    for _ in it:
-        pass
-    t_stream_total = time.perf_counter() - t0
+    def stream_timings(backend):
+        sv = StreamingVocoder(ap, backend=backend)
+        if backend == "device":
+            # warm-up stream: the single static window bucket compiles once;
+            # an unwarmed first chunk would time the (cached-able) compile,
+            # not the kernel (CLAUDE.md tunnel rules)
+            for _ in sv.stream(mel, np.random.default_rng(0)):
+                pass
+        t0 = time.perf_counter()
+        it = sv.stream(mel, np.random.default_rng(0))
+        next(it)
+        ttfa = time.perf_counter() - t0
+        for _ in it:
+            pass
+        return ttfa, time.perf_counter() - t0
+
+    ttfa, t_stream_total = stream_timings("host")
+    dev_stream = {}
+    if args.device_stream:
+        d_ttfa, d_total = stream_timings("device")
+        dev_stream = {"device_streaming_ttfa_s": round(d_ttfa, 3),
+                      "device_streaming_total_s": round(d_total, 3)}
 
     # threaded batch throughput (the export path,
     # audio/export.py::synthesize_and_save_wavs)
@@ -94,6 +118,7 @@ def main() -> None:
         "batch_float64_s": round(t_batch_slow, 3),
         "batch_fast_s": round(t_batch_fast, 3),
         "batch_fast_rtf": round(t_batch_fast / (args.utts * audio_secs), 5),
+        **dev_stream,
     }, indent=2))
 
 

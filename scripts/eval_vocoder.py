@@ -44,6 +44,13 @@ def main() -> int:
     ap.add_argument("--device_gl", action="store_true",
                     help="also run batched on-device Griffin-Lim "
                          "(ops/griffin_lim.py) as a third column")
+    ap.add_argument("--istft", default="auto",
+                    choices=("auto", "host", "device", "both"),
+                    help="neural vocoder ISTFT placement: 'auto' follows the "
+                         "capability probe (models/vocoder.py::vocode), "
+                         "'host'/'device' force one path, 'both' measures "
+                         "the two side by side (VERDICT r3 #5: the device "
+                         "ISTFT had never run on the attached chip)")
     ap.add_argument("--seed", type=int, default=7777,
                     help="held-out draw seed (training uses seed 0)")
     ap.add_argument("--out", default=None,
@@ -78,10 +85,23 @@ def main() -> int:
         batch[i, : m.shape[0]] = m
 
     mel_dev = jnp.asarray(batch)
-    wavs = np.asarray(vocode(model, params, mel_dev))  # compile + warm up
-    t0 = time.perf_counter()
-    wavs = np.asarray(vocode(model, params, mel_dev))
-    t_neural = time.perf_counter() - t0
+    istft_of = {"auto": [("neural", None)],
+                "host": [("neural", False)],
+                "device": [("neural", True)],
+                # device first so the headline "neural" row is the on-chip
+                # path; the host row lands as neural_host_istft
+                "both": [("neural", True), ("neural_host_istft", False)]}
+    neural_runs = []  # (label, wavs, seconds)
+    for label, on_device in istft_of[args.istft]:
+        w = np.asarray(vocode(model, params, mel_dev,
+                              istft_on_device=on_device))  # compile + warm
+        t0 = time.perf_counter()
+        w = np.asarray(vocode(model, params, mel_dev,
+                              istft_on_device=on_device))
+        neural_runs.append((label, w, time.perf_counter() - t0))
+    wavs, t_neural = neural_runs[0][1], neural_runs[0][2]
+
+    pairs_n2, sc_n2 = [], []  # secondary neural run (--istft both)
 
     # device Griffin-Lim on the same padded batch (one dispatch; round-3
     # validated on the attached chip, VOCODER.md "Round 3")
@@ -110,6 +130,8 @@ def main() -> int:
 
         ref_mag = np.abs(ap_dsp._stft(np.asarray(pre[:n], np.float64)))
         variants = [(w_n, sc_neural, pairs_neural), (w_g, sc_gl, pairs_gl)]
+        if len(neural_runs) > 1:
+            variants.append((neural_runs[1][1][i][:n], sc_n2, pairs_n2))
         if wavs_dev is not None:
             variants.append((wavs_dev[i][:n], sc_dev, pairs_dev))
         for w, sc_list, pair_list in variants:
@@ -138,7 +160,16 @@ def main() -> int:
                         "seconds_total": round(t_gl, 3),
                         "rtf": round(t_gl / audio_secs, 6)},
         "device": jax.devices()[0].device_kind,
+        "neural_istft": istft_of[args.istft][0][1],
     }
+    if pairs_n2:
+        q2 = batch_summary(pairs_n2)
+        result[neural_runs[1][0]] = {
+            "mel_l1": round(q2["mel_l1"], 4),
+            "mcd_db": round(q2["mcd_db"], 2),
+            "spectral_convergence": round(float(np.mean(sc_n2)), 4),
+            "seconds_total": round(neural_runs[1][2], 3),
+            "rtf": round(neural_runs[1][2] / audio_secs, 6)}
     if pairs_dev:
         q_d = batch_summary(pairs_dev)
         result["device_griffin_lim"] = {

@@ -33,6 +33,11 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vaenar_tts_tpu.utils.compile_cache import setup_compile_cache
+setup_compile_cache()  # pins jax_platforms=cpu under JAX_PLATFORM_NAME=cpu:
+                       # this CPU oracle must never open a second TPU
+                       # connection under a live training job (CLAUDE.md)
+
 import numpy as np
 
 

@@ -72,6 +72,13 @@ def main():
                          "long-form shapes where 30 steps is minutes)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--remat", default=None, choices=("off", "on", "dots"))
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=("bfloat16", "float32"),
+                    help="override hp.train.compute_dtype for the A/B: the "
+                         "synthesis-side dtype A/B measured fp32 1.7x faster "
+                         "than bf16 at short shapes (README), so the "
+                         "fp32-vs-bf16 cast traffic around the fp32 flow is "
+                         "a train-MFU suspect (VERDICT r3 #3)")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="micro-batch the step (hp.train.grad_accum): "
                          "batch/N per micro-step, averaged grads, one Adam "
@@ -85,6 +92,9 @@ def main():
     if args.grad_accum != 1:
         base = base.replace(train=dataclasses.replace(
             base.train, grad_accum=args.grad_accum))
+    if args.compute_dtype is not None:
+        base = base.replace(train=dataclasses.replace(
+            base.train, compute_dtype=args.compute_dtype))
     knob_of = {"xla": "off", "pallas": True, "auto": "auto"}
     for name in args.modes:
         hp = base.replace(train=dataclasses.replace(
