@@ -56,6 +56,37 @@ def capture():
                       jnp.float32(1e-5), k, reduction_factor=R)
     print("warm-up loss:", float(m["total_loss"]))
 
+    # compiler-side accounting to pair with the measured profile: total
+    # flops + bytes accessed (VERDICT r3 #3 asks for bytes accounted) and
+    # the peak-memory breakdown. Written next to the trace.
+    try:
+        import json
+        compiled = step.lower(params, bs, ostate, texts, mels, tl, ml,
+                              jnp.float32(1e-5), k,
+                              reduction_factor=R).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        keep = {kk: float(vv) for kk, vv in dict(ca).items()
+                if np.isscalar(vv) and ("flops" in kk or "bytes" in kk
+                                        or "time" in kk)}
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            for attr in ("temp_size_in_bytes", "argument_size_in_bytes",
+                         "output_size_in_bytes", "alias_size_in_bytes",
+                         "generated_code_size_in_bytes"):
+                v = getattr(ma, attr, None)
+                if v is not None:
+                    keep[f"memory_{attr}"] = float(v)
+        os.makedirs(args.logdir, exist_ok=True)
+        out = os.path.join(args.logdir, "cost_analysis.json")
+        with open(out, "w") as f:
+            json.dump(keep, f, indent=2, sort_keys=True)
+        print("cost analysis ->", out)
+        for kk in sorted(keep):
+            print(f"  {kk}: {keep[kk]:.3e}")
+    except Exception as e:  # best effort: profile capture is the main event
+        print("cost analysis unavailable:", e)
+
     with jax.profiler.trace(args.logdir):
         for i in range(args.steps):
             p, b, o, m = step(p, b, o, texts, mels, tl, ml,

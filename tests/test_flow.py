@@ -98,6 +98,75 @@ class TestInvertibleLinear:
         np.testing.assert_allclose(np.asarray(logdet), expected, rtol=1e-4)
 
 
+class TestPrecomputedStack:
+    """The Glow prior factors its whole InvertibleLinear stack with ONE
+    batched LU (flow.py::precompute_invertible_stack). Same math as the
+    per-layer inv/slogdet path — prove it, values and gradients."""
+
+    def _stack(self, rng, n=5):
+        ws = []
+        for i in range(n):
+            q, _ = np.linalg.qr(rng.standard_normal((C, C)))
+            ws.append(q * (0.7 + 0.1 * i))  # non-unit |det|
+        return jnp.asarray(np.stack(ws), jnp.float32)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_matches_per_layer_inv_slogdet(self, rng, reverse):
+        from vaenar_tts_tpu.models.flow import precompute_invertible_stack
+        ws = self._stack(rng)
+        mats, lds = precompute_invertible_stack(ws, reverse=reverse)
+        for i in range(ws.shape[0]):
+            w = np.asarray(ws[i], np.float64)
+            expect = np.linalg.inv(w) if reverse else w
+            np.testing.assert_allclose(np.asarray(mats[i]), expect,
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(float(lds[i]),
+                                       np.linalg.slogdet(w)[1], rtol=2e-5,
+                                       atol=1e-5)
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_gradients_match_per_layer_path(self, rng, x, lengths, reverse):
+        from vaenar_tts_tpu.models.flow import precompute_invertible_stack
+        ws = self._stack(rng, n=3)
+        xs = jnp.asarray(rng.standard_normal((3, B, T, C)), jnp.float32)
+
+        def loss_pre(ws):
+            mats, lds = precompute_invertible_stack(ws, reverse=reverse)
+            out = jnp.einsum("nbtc,ncd->nbtd", xs, mats)
+            return jnp.sum(out ** 2) + jnp.sum(lds)
+
+        def loss_ref(ws):
+            total = 0.0
+            for i in range(ws.shape[0]):
+                w = ws[i]
+                mat = jnp.linalg.inv(w) if reverse else w
+                total += jnp.sum(jnp.matmul(xs[i], mat) ** 2)
+                total += jnp.linalg.slogdet(w)[1]
+            return total
+
+        g_pre = jax.grad(loss_pre)(ws)
+        g_ref = jax.grad(loss_ref)(ws)
+        np.testing.assert_allclose(float(loss_pre(ws)), float(loss_ref(ws)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_invertible_linear_accepts_precomputed(self, rng, x, lengths):
+        from vaenar_tts_tpu.models.flow import precompute_invertible_stack
+        m = InvertibleLinear(C)
+        v = m.init(jax.random.key(1), x, lengths)
+        w = jnp.asarray(np.asarray(v["params"]["weight"]) * 1.3)
+        v = {"params": {"weight": w}}
+        mats, lds = precompute_invertible_stack(w[None], reverse=True)
+        y_ref, ld_ref = m.apply(v, x, lengths, reverse=True)
+        y_pre, ld_pre = m.apply(v, x, lengths, reverse=True,
+                                precomputed=(mats[0], lds[0]))
+        np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ld_pre), np.asarray(ld_ref),
+                                   rtol=1e-5)
+
+
 class TestCoupling:
     @pytest.mark.parametrize("order", ["upper", "lower"])
     def test_invertible(self, x, cond, lengths, cond_lengths, order):

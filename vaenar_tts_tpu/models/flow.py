@@ -87,12 +87,48 @@ class ActNorm(nn.Module):
         return out, _length_logdet(logdet_scalar, lengths, batch, max_time)
 
 
+def precompute_invertible_stack(weights: jnp.ndarray, reverse: bool
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Factor a whole stack of invertible-linear weights with ONE batched LU.
+
+    ``weights`` is [n_blk, C, C]. Returns (apply_mats, logabsdets): the
+    matrix each layer should matmul by ([n_blk, C, C]; W forward, W^-1 in
+    reverse) and the UNSIGNED log|det W| per layer ([n_blk]).
+
+    Rationale (TPU): `jnp.linalg.inv` and `jnp.linalg.slogdet` each lower to
+    their own LU custom call. The Glow stack (prior.py) used to issue
+    2*n_blk of these tiny serial, latency-bound 128x128 factorizations per
+    train step (plus their VJPs). One batched `lu_factor` amortizes the
+    latency across the stack and shares the factorization between the
+    inverse and the log-determinant — same LU kernels `inv`/`slogdet` use
+    internally, so results match the per-layer path to float rounding.
+    """
+    weights = weights.astype(jnp.float32)
+    lu, piv = jax.scipy.linalg.lu_factor(weights)
+    # |det W| = prod |diag U| (permutation sign is irrelevant: only log|det|
+    # enters the density, reference flow.py:130-134)
+    logabsdets = jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(lu, axis1=-2, axis2=-1))), axis=-1)
+    if reverse:
+        eye = jnp.broadcast_to(jnp.eye(weights.shape[-1], dtype=jnp.float32),
+                               weights.shape)
+        apply_mats = jax.scipy.linalg.lu_solve((lu, piv), eye)
+    else:
+        apply_mats = weights
+    return apply_mats, logabsdets
+
+
 class InvertibleLinear(nn.Module):
     """Channel-mixing invertible 1x1 "convolution" (reference flow.py:116-153).
 
     The backward pass solves against W (one 128x128 inverse per step; XLA
     hoists it out of the batch) and uses logdet(W^-1) = -logdet(W) instead of
     re-factorizing the inverse as the reference does (flow.py:141-144).
+
+    When the caller owns a whole stack of these (the Glow prior), it can
+    factor every weight at once with :func:`precompute_invertible_stack` and
+    pass this layer's slice via ``precomputed=(apply_mat, logabsdet)``,
+    skipping the per-layer `inv`/`slogdet` custom calls.
     """
 
     channels: int
@@ -101,22 +137,27 @@ class InvertibleLinear(nn.Module):
         self.weight = self.param(
             "weight", nn.initializers.orthogonal(), (self.channels, self.channels))
 
-    def __call__(self, x, lengths=None, reverse: bool = False
+    def weight_matrix(self) -> jnp.ndarray:
+        """The raw [C, C] weight, for stack-level precomputation."""
+        return self.weight
+
+    def __call__(self, x, lengths=None, reverse: bool = False,
+                 precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         batch, max_time = x.shape[0], x.shape[1]
         x = x.astype(jnp.float32)
-        w = self.weight.astype(jnp.float32)
-        # sign is irrelevant: only log|det| enters the density
-        _, logabsdet = jnp.linalg.slogdet(w)
+        if precomputed is not None:
+            apply_mat, logabsdet = precomputed
+            apply_mat = apply_mat.astype(jnp.float32)
+        else:
+            w = self.weight.astype(jnp.float32)
+            # sign is irrelevant: only log|det| enters the density
+            _, logabsdet = jnp.linalg.slogdet(w)
+            apply_mat = jnp.linalg.inv(w) if reverse else w
         # HIGHEST precision: on TPU the default matmul precision is bf16,
         # which would break exact invertibility of the channel mix.
-        if reverse:
-            out = jnp.matmul(x, jnp.linalg.inv(w),
-                             precision=jax.lax.Precision.HIGHEST)
-            logdet_scalar = -logabsdet
-        else:
-            out = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
-            logdet_scalar = logabsdet
+        out = jnp.matmul(x, apply_mat, precision=jax.lax.Precision.HIGHEST)
+        logdet_scalar = -logabsdet if reverse else logabsdet
         return out, _length_logdet(logdet_scalar, lengths, batch, max_time)
 
 

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .flow import ActNorm, InvertibleLinear, TransformerCoupling
+from .flow import (ActNorm, InvertibleLinear, TransformerCoupling,
+                   precompute_invertible_stack)
 from .layers import sequence_mask
 
 LOG_2PI = math.log(2.0 * math.pi)
@@ -77,13 +78,23 @@ class TransformerPrior(nn.Module):
         logprobs = jnp.sum(mask * logprobs, axis=(1, 2))
         return epsilon, logprobs
 
+    def _linear_precompute(self, reverse: bool):
+        """ONE batched LU over the whole invertible-linear stack instead of
+        2*n_blk serial 128x128 `inv`/`slogdet` custom calls per step
+        (flow.py::precompute_invertible_stack). Exact same math; the TPU win
+        is latency amortization of the tiny factorizations."""
+        weights = jnp.stack([lin.weight_matrix() for lin in self.linears])
+        mats, logabsdets = precompute_invertible_stack(weights, reverse)
+        return [(mats[i], logabsdets[i]) for i in range(self.n_blk)]
+
     def _forward_stack(self, z, logprobs, condition_inputs, targets_lengths,
                        condition_lengths, data_init: bool = False):
-        for actnorm, linear, coupling in zip(self.actnorms, self.linears,
-                                             self.couplings):
+        pre = self._linear_precompute(reverse=False)
+        for actnorm, linear, coupling, lin_pre in zip(
+                self.actnorms, self.linears, self.couplings, pre):
             z, logdet = actnorm(z, targets_lengths, data_init=data_init)
             logprobs -= logdet
-            z, logdet = linear(z, targets_lengths)
+            z, logdet = linear(z, targets_lengths, precomputed=lin_pre)
             logprobs -= logdet
             z, logdet = coupling(z, condition_inputs,
                                  inputs_lengths=targets_lengths,
@@ -110,15 +121,17 @@ class TransformerPrior(nn.Module):
         epsilon = z.astype(jnp.float32)
         batch, max_time = z.shape[0], z.shape[1]
         accum_logdet = jnp.zeros((batch,), dtype=jnp.float32)
-        for actnorm, linear, coupling in zip(reversed(self.actnorms),
-                                             reversed(self.linears),
-                                             reversed(self.couplings)):
+        pre = self._linear_precompute(reverse=True)
+        for actnorm, linear, coupling, lin_pre in zip(
+                reversed(self.actnorms), reversed(self.linears),
+                reversed(self.couplings), reversed(pre)):
             epsilon, logdet = coupling(epsilon, condition_inputs,
                                        inputs_lengths=z_lengths,
                                        condition_lengths=condition_lengths,
                                        reverse=True)
             accum_logdet += logdet
-            epsilon, logdet = linear(epsilon, z_lengths, reverse=True)
+            epsilon, logdet = linear(epsilon, z_lengths, reverse=True,
+                                     precomputed=lin_pre)
             accum_logdet += logdet
             epsilon, logdet = actnorm(epsilon, z_lengths, reverse=True)
             accum_logdet += logdet
