@@ -38,13 +38,13 @@ git add -f "$WD/ckpt/export.npz" "$WD/ckpt/hparams.json" \
   "$WD/corpus_stats.json" "$WD/alignment_proof.json" 2>/dev/null || true
 
 # -- 2. free-text feature measurements (VERDICT #1) ----------------------------
-job freetext_base 3600 python scripts/freetext_toyv2_eval.py --workdir "$WD" \
+job freetext_base 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdir "$WD" \
   || true
-job freetext_takes4 3600 python scripts/freetext_toyv2_eval.py --workdir "$WD" \
+job freetext_takes4 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdir "$WD" \
   --takes 4 || true
-job freetext_quantile 3600 python scripts/freetext_toyv2_eval.py --workdir "$WD" \
+job freetext_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdir "$WD" \
   --length_source quantile || true
-job freetext_takes4_quantile 3600 python scripts/freetext_toyv2_eval.py \
+job freetext_takes4_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 \
   --workdir "$WD" --takes 4 --length_source quantile || true
 
 # -- 3. gradient accumulation on the chip (VERDICT #2) -------------------------
