@@ -216,6 +216,15 @@ def main() -> int:
                     help="skip training; re-evaluate the latest checkpoint "
                          "in --workdir/ckpt (e.g. after extending the "
                          "alignment probe)")
+    ap.add_argument("--eval_epoch", type=int, default=None,
+                    help="with --eval_only: evaluate this saved epoch "
+                         "instead of the latest (post-mortem of a run whose "
+                         "final checkpoint failed the gates: did alignment "
+                         "ever form?)")
+    ap.add_argument("--train_seed", type=int, default=None,
+                    help="override hp.train.random_seed (init + shuffle). "
+                         "Alignment emergence is mode-sensitive; a failed "
+                         "run is retried with a different seed")
     ap.add_argument("--temperature", type=float, default=1.0,
                     help="prior-sampling temperature for the inference-path "
                          "evaluation. 1.0 = an honest sample of p(z|text), "
@@ -264,9 +273,14 @@ def main() -> int:
                       kl_anneal_epochs=args.kl_anneal_epochs,
                       stages_epochs=args.stages_epochs,
                       quantile=args.quantile)
+    if args.train_seed is not None:
+        import dataclasses as _dc
+        hp = hp.replace(train=_dc.replace(hp.train,
+                                          random_seed=args.train_seed))
     print(f"config: latent {hp.common.latent_dim}, kl "
           f"{hp.train.kl_weight_init} -> {hp.train.kl_weight_end} "
-          f"(anneal {hp.train.kl_weight_increase_epoch} ep)")
+          f"(anneal {hp.train.kl_weight_increase_epoch} ep), "
+          f"seed {hp.train.random_seed}")
     model = VAENAR(hp)
     final_r = hp.train.reduction_factor_at(args.epochs - 1)
 
@@ -290,7 +304,7 @@ def main() -> int:
         mgr = CheckpointManager(os.path.join(args.workdir, "ckpt"))
         full = {"params": params0, "batch_stats": bs0, "epoch": 0,
                 "opt_state": make_optimizer(hp).init(params0)}
-        restored = mgr.restore(full)
+        restored = mgr.restore(full, epoch=args.eval_epoch)
         mgr.close()
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {args.workdir}/ckpt")
