@@ -1,8 +1,9 @@
 #!/bin/bash
-# Round-4 chip-work queue: waits for the training job (PID file) to exit,
-# then runs every chip-bound VERDICT r3 item serially — ONE TPU job at a
-# time (CLAUDE.md). Each job logs to artifacts/chipq/<name>.log and appends
-# a status line to artifacts/chipq/status.jsonl. Launch detached:
+# Round-4 chip-work queue: runs every chip-bound VERDICT r3 item serially —
+# ONE TPU job at a time (CLAUDE.md). Launch ONLY when the chip is free
+# (no PID-wait: a pre-armed wait on a dying wrapper PID fired early twice
+# in round 4). Each job logs to artifacts/chipq/<name>.log and appends a
+# status line to artifacts/chipq/status.jsonl. Launch detached:
 #   setsid nohup bash scripts/chip_queue.sh >> artifacts/chipq/queue.log 2>&1 &
 set -u
 cd /root/repo
@@ -23,19 +24,8 @@ job() {  # job <name> <timeout_s> <cmd...>
   return $rc
 }
 
-# -- 0. wait for the trainer ---------------------------------------------------
-if [ -f /tmp/toyv2_train.pid ]; then
-  TPID=$(cat /tmp/toyv2_train.pid)
-  note "waiting for trainer pid $TPID"
-  while kill -0 "$TPID" 2>/dev/null; do sleep 60; done
-  note "trainer exited"
-fi
-sleep 10
-
 # -- 1. persist the checkpoint (VERDICT #1) ------------------------------------
-job export 600 python scripts/export_checkpoint.py --model_dir "$WD/ckpt"
-git add -f "$WD/ckpt/export.npz" "$WD/ckpt/hparams.json" \
-  "$WD/corpus_stats.json" "$WD/alignment_proof.json" 2>/dev/null || true
+job export 1200 python scripts/export_checkpoint.py --model_dir "$WD/ckpt"
 
 # -- 2. free-text feature measurements (VERDICT #1) ----------------------------
 job freetext_base 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdir "$WD" \
@@ -47,8 +37,13 @@ job freetext_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdi
 job freetext_takes4_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 \
   --workdir "$WD" --takes 4 --length_source quantile || true
 
-# -- 3. gradient accumulation on the chip (VERDICT #2) -------------------------
-job accum_b32 2400 python scripts/perf_ab_train.py --modes auto --batch 32 || true
+# -- 3. train-MFU evidence first (VERDICT #3): profile + dtype A/B --------------
+job profile 2400 python scripts/profile_train.py --batch 32 --steps 8 \
+  --logdir artifacts/chipq/profile || true
+job dtype_fp32 2400 python scripts/perf_ab_train.py --modes auto --batch 32 \
+  --compute_dtype float32 || true
+
+# -- 4. gradient accumulation on the chip (VERDICT #2) -------------------------
 job accum_b64 2400 python scripts/perf_ab_train.py --modes auto --batch 64 || true
 job accum_b64x2 2400 python scripts/perf_ab_train.py --modes auto --batch 64 \
   --grad_accum 2 || true
@@ -57,18 +52,12 @@ job accum_b128 2400 python scripts/perf_ab_train.py --modes auto --batch 128 \
 job accum_b128x4 2400 python scripts/perf_ab_train.py --modes auto --batch 128 \
   --grad_accum 4 --chain 4 16 || true
 
-# -- 4. train-MFU suspects (VERDICT #3): dtype A/B + profile -------------------
-job dtype_fp32 2400 python scripts/perf_ab_train.py --modes auto --batch 32 \
-  --compute_dtype float32 || true
-job profile 2400 python scripts/profile_train.py --batch 32 --steps 8 \
-  --logdir artifacts/chipq/profile || true
-
 # -- 5. D=128 Pallas crossover sweep (VERDICT #4) -------------------------------
 job attn_d128 3600 python scripts/perf_ab_attn.py --heads 8 --head_dim 128 \
   --seqs 256 384 512 768 1024 || true
 
 # -- 6. neural vocoder: train on toy-v2, then device-ISTFT A/B (VERDICT #5) ----
-job voc_train 7200 python -m vaenar_tts_tpu.cli.train_vocoder --toy \
+job voc_train 5400 python -m vaenar_tts_tpu.cli.train_vocoder --toy \
   --toy_version 2 --n_toy_utterances 96 --steps 12000 \
   --model_dir artifacts/voc_toyv2 --log_every 1000 || true
 job voc_eval 3600 python scripts/eval_vocoder.py --model_dir artifacts/voc_toyv2 \
