@@ -37,6 +37,13 @@ job freetext_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 --workdi
 job freetext_takes4_quantile 3600 python scripts/freetext_toyv2_eval.py --n 16 \
   --workdir "$WD" --takes 4 --length_source quantile || true
 
+# -- 2b. headline alignment eval at the shipped (epoch-1200) checkpoint:
+#        regenerates ALIGNMENT.md with the real gates + the fresh freetext
+#        table (the 2000-epoch run's tail collapsed; post-mortem evals
+#        picked 1200 — see alignment_proof_ep{1200,1999_FAIL}.json)
+job headline_eval 2400 python scripts/alignment_proof.py --workdir "$WD" \
+  --eval_only --quantile 0.9 --epochs 1200 --stages_epochs 1200 || true
+
 # -- 3. train-MFU evidence first (VERDICT #3): profile + dtype A/B --------------
 job profile 2400 python scripts/profile_train.py --batch 32 --steps 8 \
   --logdir artifacts/chipq/profile || true
