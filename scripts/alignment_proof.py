@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import glob
 import json
 import os
 import sys
@@ -414,6 +415,62 @@ The headline above asserts at temperature {r['temperature']:g} (an honest
 sample of p(z|text), the distribution the KL term matches). This framework's
 inference CLI therefore defaults to temperature 0.6 instead of the
 reference's 0 (PARITY.md "Deliberate deviations").
+"""
+    # over-training collapse post-mortems: alignment_proof_ep<N>*.json saved
+    # by --eval_only --eval_epoch runs (round 4: the 2000-epoch run's tail
+    # collapsed; the shipped checkpoint is the best measured epoch)
+    wd = os.path.dirname(sweep_path or "")
+    pm_rows = []
+    for p in sorted(glob.glob(os.path.join(wd, "alignment_proof_ep*.json"))):
+        ep = os.path.basename(p)[len("alignment_proof_ep"):].split(".")[0]
+        ep_num = int("".join(c for c in ep if c.isdigit()))
+        pt = json.load(open(p))["trained"]
+        pm_rows.append((ep_num, pt))
+    if pm_rows:
+        pm_rows.sort()
+        body = "\n".join(
+            f"| {ep} | {pt['diagonality_infer_decoder']:.3f} | "
+            f"{pt['prior_mcd_dtw_db']:.2f} | {pt['posterior_mcd_dtw_db']:.2f} |"
+            for ep, pt in pm_rows)
+        sweep_md += f"""
+## Checkpoint selection: over-training collapses alignment on this corpus
+
+The reference's LJSpeech schedule is 2000 epochs on ~13k utterances
+(reference configs/hparams.py:236-238). On the 960-utterance toy-v2 corpus
+the same schedule OVERSHOOTS: inference-path alignment forms by the end of
+the r-curriculum and then decays as the decoder over-fits its way around the
+text (the posterior keeps reconstructing, so train/dev losses never flag
+it). Measured post-mortem of one 2000-epoch run (`--eval_only
+--eval_epoch`, per-epoch checkpoints every 50):
+
+| epoch | infer-decoder diagonality | prior MCD-DTW (dB) | posterior MCD-DTW (dB) |
+|---|---|---|---|
+{body}
+
+The shipped checkpoint is the gate-passing epoch in the headline above;
+select checkpoints by the proof eval, not by epoch count, when the corpus
+is much smaller than the schedule assumes.
+"""
+    ft_variants = []
+    for p in sorted(glob.glob(os.path.join(wd, "freetext_eval_*.json"))):
+        ft_variants.append(json.load(open(p)))
+    if ft_variants:
+        base_path = os.path.join(wd, "freetext_eval.json")
+        rows = ([json.load(open(base_path))] if os.path.exists(base_path)
+                else []) + ft_variants
+        body = "\n".join(
+            f"| {x.get('takes', 1)} | {x.get('length_source', 'mean')} | "
+            f"**{x['synthesis_ler']:.3f}** | {x['decoder_floor_ler']:.3f} |"
+            for x in rows)
+        sweep_md += f"""
+## Free-text feature A/B (same {rows[0]['n_texts']} held-out texts)
+
+Mean letters-only LER by inference feature (coverage-ranked multi-take
+`--takes`, learned p90 `--length_source quantile`):
+
+| takes | length source | mean LER | decoder floor |
+|---|---|---|---|
+{body}
 """
     ft_path = os.path.join(os.path.dirname(sweep_path or ""),
                            "freetext_eval.json")
