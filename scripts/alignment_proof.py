@@ -222,6 +222,10 @@ def main() -> int:
                          "instead of the latest (post-mortem of a run whose "
                          "final checkpoint failed the gates: did alignment "
                          "ever form?)")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="with --eval_only: checkpoint dir (default "
+                         "<workdir>/ckpt; a resumed run's continuation "
+                         "epochs live in ckpt_post*)")
     ap.add_argument("--train_seed", type=int, default=None,
                     help="override hp.train.random_seed (init + shuffle). "
                          "Alignment emergence is mode-sensitive; a failed "
@@ -302,7 +306,8 @@ def main() -> int:
     if args.eval_only:
         from vaenar_tts_tpu.training.steps import make_optimizer
         from vaenar_tts_tpu.utils.checkpoint import CheckpointManager
-        mgr = CheckpointManager(os.path.join(args.workdir, "ckpt"))
+        mgr = CheckpointManager(args.ckpt_dir
+                                or os.path.join(args.workdir, "ckpt"))
         full = {"params": params0, "batch_stats": bs0, "epoch": 0,
                 "opt_state": make_optimizer(hp).init(params0)}
         restored = mgr.restore(full, epoch=args.eval_epoch)

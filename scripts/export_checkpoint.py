@@ -37,6 +37,9 @@ def main() -> int:
                     help="training workdir's ckpt/ (Orbax + hparams.json)")
     ap.add_argument("--out", default=None,
                     help="output path (default <model_dir>/export.npz)")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="export this persisted epoch instead of the newest "
+                         "(checkpoint selection, ALIGNMENT.md)")
     ap.add_argument("--store_dtype", default="float16",
                     choices=("float16", "float32"),
                     help="storage dtype for floating leaves (restored to "
@@ -46,7 +49,7 @@ def main() -> int:
     from vaenar_tts_tpu.utils.export import export_model_dir
 
     out = export_model_dir(args.model_dir, args.out,
-                           store_dtype=args.store_dtype)
+                           store_dtype=args.store_dtype, epoch=args.epoch)
     hp_src = os.path.join(args.model_dir, "hparams.json")
     hp_dst = os.path.join(os.path.dirname(os.path.abspath(out)),
                           "hparams.json")

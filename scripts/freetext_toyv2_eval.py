@@ -68,6 +68,13 @@ def main() -> int:
                          "learned p-quantile head (checkpoint must be "
                          "trained with hp.length_predictor.quantile > 0) "
                          "— the anti-truncation feature under test")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="checkpoint dir (default <workdir>/ckpt; a resumed "
+                         "run's continuation epochs live in ckpt_post*)")
+    ap.add_argument("--ckpt_epoch", type=int, default=None,
+                    help="evaluate this persisted epoch instead of the "
+                         "newest (cli.inference --ckpt_epoch); see "
+                         "scripts/freetext_epoch_sweep.py for picking one")
     ap.add_argument("--out_name", default=None,
                     help="result/mel subdirectory + json name (default "
                          "derived from --takes/--length_source so variant "
@@ -100,17 +107,21 @@ def main() -> int:
         # the real CLI, letter for letter what a user runs
         cmd = [sys.executable, "-m", "vaenar_tts_tpu.cli.inference",
                "--dataset", "ljspeech", "--text", lines_path,
-               "--model_dir", os.path.join(args.workdir, "ckpt"),
+               "--model_dir", args.ckpt_dir or os.path.join(args.workdir,
+                                                            "ckpt"),
                "--test_dir", out_dir, "--write_mels",
                "--takes", str(args.takes),
                "--length_source", args.length_source]
+        if args.ckpt_epoch is not None:
+            cmd += ["--ckpt_epoch", str(args.ckpt_epoch)]
         print("running:", " ".join(cmd), flush=True)
         subprocess.run(cmd, cwd=REPO, check=True)
 
     all_mels = glob.glob(os.path.join(out_dir, "test-*-*.npy"))
-    # artifacts are named test-<ckpt_epoch>-<line>.npy; evaluate the NEWEST
-    # checkpoint's set (older runs' files may coexist in the workdir)
-    latest = max(int(p.rsplit("-", 2)[1]) for p in all_mels)
+    # artifacts are named test-<ckpt_epoch>-<line>.npy; evaluate the pinned
+    # epoch's set, else the NEWEST (older runs' files may coexist)
+    latest = (args.ckpt_epoch if args.ckpt_epoch is not None
+              else max(int(p.rsplit("-", 2)[1]) for p in all_mels))
     mel_paths = sorted(
         (p for p in all_mels if int(p.rsplit("-", 2)[1]) == latest),
         key=lambda p: int(p.rsplit("-", 1)[1][:-4]))
@@ -142,6 +153,7 @@ def main() -> int:
     mean_floor = float(np.mean(floor_lers))
     result = {
         "n_texts": len(texts),
+        "ckpt_epoch": latest,
         "takes": args.takes,
         "length_source": args.length_source,
         "synthesis_ler": round(mean_ler, 3),

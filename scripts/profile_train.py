@@ -54,7 +54,7 @@ def capture():
     # before the trace starts (CLAUDE.md tunnel rules)
     p, b, o, m = step(params, bs, ostate, texts, mels, tl, ml,
                       jnp.float32(1e-5), k, reduction_factor=R)
-    print("warm-up loss:", float(m["total_loss"]))
+    print("warm-up loss:", float(m["total"]))
 
     # compiler-side accounting to pair with the measured profile: total
     # flops + bytes accessed (VERDICT r3 #3 asks for bytes accounted) and
@@ -92,7 +92,7 @@ def capture():
             p, b, o, m = step(p, b, o, texts, mels, tl, ml,
                               jnp.float32(1e-5), jax.random.fold_in(k, i),
                               reduction_factor=R)
-        print("traced loss:", float(m["total_loss"]))
+        print("traced loss:", float(m["total"]))
 
 
 def parse():

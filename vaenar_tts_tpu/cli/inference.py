@@ -34,12 +34,18 @@ from ..training.steps import init_model, make_inference_step
 from ..utils.checkpoint import CheckpointManager
 
 
-def load_model_state(hp, model_dir: str, compute_dtype: str | None = None):
-    """Restore the latest checkpoint for synthesis (the reference's
-    model-only expect_partial restore, inference.py:122-123). If the model
-    dir carries an hparams.json (written by training), that resolved config
-    wins over the CLI preset - checkpoints from --override runs restore
-    exactly.
+def load_model_state(hp, model_dir: str, compute_dtype: str | None = None,
+                     epoch: int | None = None):
+    """Restore the latest (or ``epoch``-pinned) checkpoint for synthesis
+    (the reference's model-only expect_partial restore,
+    inference.py:122-123). If the model dir carries an hparams.json
+    (written by training), that resolved config wins over the CLI preset -
+    checkpoints from --override runs restore exactly.
+
+    ``epoch`` pins a specific persisted epoch instead of the newest one:
+    checkpoint SELECTION is part of the product (the reference ships one
+    hand-picked checkpoint, README.md:4; ALIGNMENT.md "Checkpoint
+    selection" shows why the newest is not always the best).
 
     ``compute_dtype`` overrides the transformer compute dtype for synthesis
     only (params are stored fp32, so this is a free cast choice): measured
@@ -64,8 +70,10 @@ def load_model_state(hp, model_dir: str, compute_dtype: str | None = None):
     mgr = CheckpointManager(model_dir)
     full = {"params": params, "batch_stats": batch_stats, "epoch": 0,
             "opt_state": make_optimizer(hp).init(params)}
-    r = mgr.restore(full)
+    r = mgr.restore(full, epoch=epoch)
     mgr.close()
+    if r is None and epoch is not None:
+        raise FileNotFoundError(f"no epoch-{epoch} checkpoint in {model_dir}")
     if r is None:
         # portable single-file export fallback (utils/export.py): how trained
         # artifacts are shipped/versioned without the Orbax workdir
@@ -102,7 +110,8 @@ def _resolve_length_source(source: str, hp) -> bool:
 def inference_test(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(
-        hp, args.model_dir, compute_dtype=args.compute_dtype)
+        hp, args.model_dir, compute_dtype=args.compute_dtype,
+        epoch=args.ckpt_epoch)
     # constructing with the vocoder dir fails FAST on a broken/mismatched
     # vocoder — before the multi-minute model compile and synthesis pass
     tester = TestUtils(hp, args.test_dir,
@@ -216,7 +225,8 @@ def inference_test(args) -> None:
 def synthesize_from_text(args) -> None:
     hp = get_config(args.dataset)
     hp, model, params, batch_stats, epoch = load_model_state(
-        hp, args.model_dir, compute_dtype=args.compute_dtype)
+        hp, args.model_dir, compute_dtype=args.compute_dtype,
+        epoch=args.ckpt_epoch)
     tester = TestUtils(hp, args.test_dir)
     from ..training.steps import plots_variant
     inf_step = make_inference_step(hp, VAENAR(plots_variant(hp)))
@@ -316,6 +326,10 @@ def main(argv=None) -> None:
     parser.add_argument("--text", type=str, default=None,
                         help="file of lines to synthesize (free-text mode)")
     parser.add_argument("--model_dir", type=str, required=True)
+    parser.add_argument("--ckpt_epoch", type=int, default=None,
+                        help="restore this persisted epoch instead of the "
+                             "newest one (checkpoint selection: see "
+                             "ALIGNMENT.md 'Checkpoint selection')")
     parser.add_argument("--test_dir", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=1)
     # DELIBERATE DEVIATION from the reference default of 0.0 (reference

@@ -48,11 +48,16 @@ NEG = -2.0 ** 32 + 1.0
 #   flash kernel wins from T=768 (fwd 2.04x, fwd+bwd 1.39x) through T=1024
 #   (2.43x/1.71x), T=2048 (2.86x/1.69x) and T=4096 (6.14x/2.92x). Threshold
 #   = 640^2 score elements, the midpoint of the measured 512..768 bracket.
-#   D=128 (H=8): sweep pending (scripts/perf_ab_attn.py --heads 8
-#   --head_dim 128); until it lands the nearest measured dim's threshold
-#   applies. Known fixed point: at T=4096 the XLA backward fails to compile
-#   at this geometry, so the kernel must engage well before that.
-PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM = {64: 640 * 640}
+#   D=128 (H=8, round-4 sweep, T in {256,384,512,768,1024}): the flash
+#   forward wins from T=384 (2.05x) but the backward only joins at T=512
+#   (fwd+bwd 1.28x; at 384 it loses 0.28x), then 768 (2.14x/1.52x) and
+#   1024 (2.57x/1.61x). Threshold = 448^2, the midpoint of the measured
+#   384..512 fwd+bwd bracket — engaging at the joint crossover keeps the
+#   train step (fwd+bwd) from regressing at 384-class shapes while
+#   synthesis loses at most the 384-512 fwd sliver. At T=4096 the XLA
+#   backward fails to compile outright at this geometry (8.6 GB score
+#   tensor), so past the crossover the kernel is the only option anyway.
+PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM = {64: 640 * 640, 128: 448 * 448}
 PALLAS_MIN_SCORE_ELEMENTS = PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM[64]
 
 # Up to this Tk the single-pass kernel keeps the FULL [Tk, D] k/v plus two

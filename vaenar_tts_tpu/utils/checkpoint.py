@@ -65,6 +65,9 @@ class CheckpointManager:
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             return None
+        if epoch is not None and step not in self._mgr.all_steps():
+            # pinned-epoch miss: a None beats Orbax's opaque Composite error
+            return None
         ref = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                      abstract_state)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(ref))

@@ -110,10 +110,12 @@ def load_npz(path: str) -> Dict[str, Any]:
 
 
 def export_model_dir(model_dir: str, out_path: str | None = None,
-                     store_dtype: str | None = "float16") -> str:
-    """Export the latest Orbax checkpoint in ``model_dir`` (a training
-    workdir's ``ckpt/``) to ``out_path`` (default: ``model_dir/export.npz``,
-    where the inference fallback looks)."""
+                     store_dtype: str | None = "float16",
+                     epoch: int | None = None) -> str:
+    """Export the latest (or ``epoch``-pinned) Orbax checkpoint in
+    ``model_dir`` (a training workdir's ``ckpt/``) to ``out_path``
+    (default: ``model_dir/export.npz``, where the inference fallback
+    looks)."""
     from ..configs.serialize import load_hparams
     from ..models.vaenar import VAENAR
     from ..training.steps import init_model, make_optimizer
@@ -130,7 +132,7 @@ def export_model_dir(model_dir: str, out_path: str | None = None,
     mgr = CheckpointManager(model_dir)
     full = {"params": params, "batch_stats": batch_stats, "epoch": 0,
             "opt_state": make_optimizer(hp).init(params)}
-    restored = mgr.restore(full)
+    restored = mgr.restore(full, epoch=epoch)
     mgr.close()
     if restored is None:
         raise FileNotFoundError(f"no checkpoint found in {model_dir}")
