@@ -96,62 +96,83 @@ def capture():
 
 
 def parse():
-    paths = sorted(glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"),
+    """Parse the Chrome-trace JSON the profiler writes next to the xplane.
+
+    jax.profiler emits both <host>.xplane.pb and <host>.trace.json.gz; the
+    JSON carries everything this report needs per device op (name, dur,
+    hlo_category, tf_op source attribution, model_flops,
+    raw_bytes_accessed) without the xplane proto bindings, which are not
+    importable in this image (xprof/tensorboard_plugin_profile ship without
+    generated *_pb2 modules)."""
+    import gzip, json, re
+    paths = sorted(glob.glob(os.path.join(args.logdir, "**",
+                                          "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
-        print("no xplane captured under", args.logdir)
+        print("no trace.json.gz captured under", args.logdir)
         return
     path = paths[-1]
     print("parsing", path)
-    try:
-        from xprof.protobuf import xplane_pb2  # newer packaging
-    except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
+    with gzip.open(path) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
 
-    # Self time per HLO op, summed over TPU device planes. Each line in a
-    # device plane is a trace lane; events reference metadata by id.
+    # Find the device plane's "XLA Ops" lane: process named /device:* with a
+    # thread named "XLA Ops". Step/module lanes duplicate the same time.
+    dev_pids = set()
+    op_lanes = set()  # (pid, tid)
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and \
+                "/device:" in e["args"]["name"]:
+            dev_pids.add(e["pid"])
+        if e.get("name") == "thread_name" and \
+                e["args"]["name"].lower() in ("xla ops", "xla op"):
+            op_lanes.add((e["pid"], e.get("tid")))
+    op_lanes = {(p, t) for (p, t) in op_lanes if p in dev_pids}
+
     per_op = collections.Counter()
     per_cat = collections.Counter()
-    total_ns = 0
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "/device:" not in plane.name:
+    per_mod = collections.defaultdict(lambda: [0.0, 0.0, 0.0])  # us,fl,by
+    total_us = 0.0
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
-        meta = plane.event_metadata
-        stat_meta = plane.stat_metadata
-        for line in plane.lines:
-            lname = line.name.lower()
-            # XLA op lanes carry per-op events; step lanes duplicate time
-            if "xla op" not in lname and "xla ops" not in lname:
-                continue
-            for ev in line.events:
-                m = meta[ev.metadata_id]
-                dur = ev.duration_ps // 1000  # ns
-                name = m.name
-                cat = ""
-                for st in list(ev.stats) + list(m.stats):
-                    sname = stat_meta[st.metadata_id].name
-                    if sname in ("hlo_category", "category"):
-                        cat = st.str_value or st.ref_value and \
-                            stat_meta[st.ref_value].name or ""
-                per_op[name] += dur
-                per_cat[cat or "?"] += dur
-                total_ns += dur
+        dur = e.get("dur", 0)  # microseconds
+        a = e.get("args", {}) or {}
+        per_op[e.get("name", "?")] += dur
+        per_cat[a.get("hlo_category", "?")] += dur
+        # module attribution: first 3 path parts of the jaxpr scope
+        tf_op = (a.get("tf_op") or "?").replace("jit(train_step)/", "")
+        mod = "/".join(tf_op.rstrip(":").split("/")[:3])
+        m = per_mod[mod]
+        m[0] += dur
+        m[1] += float(a.get("model_flops", 0) or 0)
+        m[2] += float(a.get("raw_bytes_accessed", 0) or 0)
+        total_us += dur
     if not per_op:
-        print("no 'XLA Ops' lanes found; plane names were:")
-        for plane in xspace.planes:
-            print("  ", plane.name, [l.name for l in plane.lines][:6])
+        print("no XLA Ops lanes found; process/thread metadata was:")
+        for e in events:
+            if e.get("ph") == "M":
+                print("  ", e.get("pid"), e.get("tid"), e["args"].get("name"))
         return
-    print(f"\ntotal device op time: {total_ns/1e6:.2f} ms over {args.steps} "
-          f"steps = {total_ns/1e6/args.steps:.2f} ms/step")
+    n = args.steps
+    print(f"\ntotal device op time: {total_us/1e3:.2f} ms over {n} "
+          f"steps = {total_us/1e3/n:.3f} ms/step")
+    print(f"\nby category (ms/step):")
+    for cat, us in per_cat.most_common(20):
+        print(f"  {us/n/1e3:8.3f} ms  {100*us/total_us:5.1f}%  {cat}")
+    print(f"\ntop {args.top} modules by self time "
+          f"(ms/step | GFLOP/step | MB/step | achieved TFLOP/s):")
+    for mod, (us, fl, by) in sorted(per_mod.items(),
+                                    key=lambda kv: -kv[1][0])[:args.top]:
+        tput = fl / (us * 1e-6) / 1e12 if us else 0.0
+        print(f"  {us/n/1e3:8.3f} ms {100*us/total_us:5.1f}% "
+              f"{fl/n/1e9:9.2f} {by/n/1e6:9.1f} {tput:7.1f}  {mod[:86]}")
     print(f"\ntop {args.top} HLO ops by self time:")
-    for name, ns in per_op.most_common(args.top):
-        print(f"  {ns/1e6:8.3f} ms  {100*ns/total_ns:5.1f}%  {name[:110]}")
-    print("\nby category:")
-    for cat, ns in per_cat.most_common(20):
-        print(f"  {ns/1e6:8.3f} ms  {100*ns/total_ns:5.1f}%  {cat}")
+    for name, us in per_op.most_common(args.top):
+        print(f"  {us/n/1e3:8.4f} ms  {100*us/total_us:5.1f}%  {name[:110]}")
 
 
 if not args.parse_only:
