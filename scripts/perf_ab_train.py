@@ -79,6 +79,12 @@ def main():
                          "than bf16 at short shapes (README), so the "
                          "fp32-vs-bf16 cast traffic around the fp32 flow is "
                          "a train-MFU suspect (VERDICT r3 #3)")
+    ap.add_argument("--batched_lu", default=None, choices=("on", "off"),
+                    help="override hp.prior.batched_lu: one batched "
+                         "lu_factor for the invertible-linear stack (on, "
+                         "the default) vs per-layer inv/slogdet custom "
+                         "calls (off) — suspect for the r4 29.5->34 ms "
+                         "bench train-step regression")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="micro-batch the step (hp.train.grad_accum): "
                          "batch/N per micro-step, averaged grads, one Adam "
@@ -95,6 +101,9 @@ def main():
     if args.compute_dtype is not None:
         base = base.replace(train=dataclasses.replace(
             base.train, compute_dtype=args.compute_dtype))
+    if args.batched_lu is not None:
+        base = base.replace(prior=dataclasses.replace(
+            base.prior, batched_lu=args.batched_lu == "on"))
     knob_of = {"xla": "off", "pallas": True, "auto": "auto"}
     for name in args.modes:
         hp = base.replace(train=dataclasses.replace(

@@ -199,10 +199,39 @@ class TestCoupling:
 
 
 class TestPrior:
-    def _make(self):
+    def _make(self, **kw):
         return TransformerPrior(n_blk=2, channels=C, n_transformer_blk=1,
                                 attention_dim=8, attention_heads=2,
-                                temperature=1.0, ffn_hidden=16)
+                                temperature=1.0, ffn_hidden=16, **kw)
+
+    def test_batched_lu_knob_is_numerically_inert(self, cond, lengths,
+                                                  cond_lengths):
+        """hp.prior.batched_lu toggles HOW the invertible linears factor
+        (one batched lu_factor vs per-layer inv/slogdet), never WHAT they
+        compute: sample and log_probability agree across the knob."""
+        m_on, m_off = self._make(batched_lu=True), self._make(batched_lu=False)
+        rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+        v = m_on.init(rngs, lengths, cond, cond_lengths, max_length=T,
+                      method=TransformerPrior.sample)
+        z_on, lp_on = m_on.apply(v, lengths, cond, cond_lengths, max_length=T,
+                                 method=TransformerPrior.sample,
+                                 rngs={"sample": jax.random.key(7)})
+        z_off, lp_off = m_off.apply(v, lengths, cond, cond_lengths,
+                                    max_length=T,
+                                    method=TransformerPrior.sample,
+                                    rngs={"sample": jax.random.key(7)})
+        np.testing.assert_allclose(np.asarray(z_on), np.asarray(z_off),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp_on), np.asarray(lp_off),
+                                   rtol=1e-5, atol=1e-3)
+        rev_on = m_on.apply(v, z_on, cond, z_lengths=lengths,
+                            condition_lengths=cond_lengths,
+                            method=TransformerPrior.log_probability)
+        rev_off = m_off.apply(v, z_on, cond, z_lengths=lengths,
+                              condition_lengths=cond_lengths,
+                              method=TransformerPrior.log_probability)
+        np.testing.assert_allclose(np.asarray(rev_on), np.asarray(rev_off),
+                                   rtol=1e-5, atol=1e-3)
 
     def test_sample_then_logprob_consistent(self, cond, lengths, cond_lengths):
         """log_probability(sample(eps)) must equal the log-prob accumulated

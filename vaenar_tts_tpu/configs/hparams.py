@@ -223,6 +223,11 @@ class PriorConfig:
     temperature: float = 1.0
     ffn_hidden: int = 1024
     inverse: bool = False
+    # Factor all invertible-linear weights with one batched LU per step
+    # (models/prior.py::_linear_precompute) instead of per-layer
+    # inv/slogdet custom calls. Same math; A/B-able on chip via
+    # scripts/perf_ab_train.py --batched_lu off.
+    batched_lu: bool = True
 
 
 @dataclass(frozen=True)

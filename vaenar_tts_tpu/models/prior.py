@@ -43,6 +43,10 @@ class TransformerPrior(nn.Module):
     ring_axis: str = "model"
     tuning: Optional[Any] = None
     remat: Any = "off"
+    # One batched lu_factor for the whole invertible-linear stack vs
+    # per-layer inv/slogdet custom calls (hp.prior.batched_lu; A/B with
+    # scripts/perf_ab_train.py --batched_lu). Same math either way.
+    batched_lu: bool = True
 
     def setup(self):
         actnorms, linears, couplings = [], [], []
@@ -82,7 +86,10 @@ class TransformerPrior(nn.Module):
         """ONE batched LU over the whole invertible-linear stack instead of
         2*n_blk serial 128x128 `inv`/`slogdet` custom calls per step
         (flow.py::precompute_invertible_stack). Exact same math; the TPU win
-        is latency amortization of the tiny factorizations."""
+        is latency amortization of the tiny factorizations. Gated by
+        ``batched_lu`` so the per-layer path stays A/B-able."""
+        if not self.batched_lu:
+            return [None] * self.n_blk
         weights = jnp.stack([lin.weight_matrix() for lin in self.linears])
         mats, logabsdets = precompute_invertible_stack(weights, reverse)
         return [(mats[i], logabsdets[i]) for i in range(self.n_blk)]

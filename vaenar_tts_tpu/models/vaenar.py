@@ -130,6 +130,7 @@ class VAENAR(nn.Module):
             attention_heads=hp.prior.attention_heads,
             temperature=hp.prior.temperature,
             ffn_hidden=hp.prior.ffn_hidden,
+            batched_lu=hp.prior.batched_lu,
             use_pallas=use_pallas, dtype=dtype, **ring)
 
     # -- loss helpers (reference models.py:67-103) ---------------------------
