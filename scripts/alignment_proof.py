@@ -315,6 +315,7 @@ def main() -> int:
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {args.workdir}/ckpt")
         print(f"eval-only: restored epoch {int(restored['epoch'])}")
+        ckpt_epoch = int(restored["epoch"])
         trained_params = restored["params"]
         trained_bs = restored["batch_stats"]
         prev = os.path.join(args.workdir, "alignment_proof.json")
@@ -325,6 +326,7 @@ def main() -> int:
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
                       os.path.join(args.workdir, "logs"), log_every=100)
         train_secs = time.time() - t0
+        ckpt_epoch = args.epochs - 1  # the loop's last saved epoch
         trained_params, trained_bs = state.params, state.batch_stats
 
     after = evaluate(hp, model, trained_params, trained_bs, test_loader,
@@ -336,6 +338,7 @@ def main() -> int:
 
     result = {
         "epochs": args.epochs,
+        "ckpt_epoch": ckpt_epoch,
         "temperature": args.temperature,
         "corpus_version": args.corpus_version,
         "corpus": {k: stats[k] for k in ("n_train", "n_dev", "n_test")},
@@ -456,6 +459,26 @@ The shipped checkpoint is the gate-passing epoch in the headline above;
 select checkpoints by the proof eval, not by epoch count, when the corpus
 is much smaller than the schedule assumes.
 """
+    ler_sweep_path = os.path.join(wd, "freetext_sweep.json")
+    if os.path.exists(ler_sweep_path):
+        sw = json.load(open(ler_sweep_path))
+        body = "\n".join(
+            f"| {x['epoch']} | {x['mean_ler']:.3f} | "
+            f"{', '.join(f'{s:.3f}' for s in x['per_seed'])} |"
+            for x in sw["rows"])
+        sweep_md += f"""
+### Selection by the product metric: free-text LER per persisted epoch
+
+`scripts/freetext_epoch_sweep.py` ({sw['n_texts']} held-out texts x
+{sw['sample_seeds']} sample seeds, temperature {sw['temperature']:g}, one
+compile for the whole sweep) scores every persisted checkpoint on the
+free-text CLI path; the headline evaluates the argmin (epoch
+{sw['best']['epoch']}, mean LER {sw['best']['mean_ler']:.3f}):
+
+| epoch | mean LER | per-seed |
+|---|---|---|
+{body}
+"""
     ft_variants = []
     for p in sorted(glob.glob(os.path.join(wd, "freetext_eval_*.json"))):
         ft_variants.append(json.load(open(p)))
@@ -539,9 +562,12 @@ Quality uses DTW-aligned MCD alongside frame-wise MCD because the corpus
 draws tempo and durations randomly per utterance: a prior sample legitimately
 chooses its own timing, and only the DTW variant compares like with like.
 
-Run: {r['epochs']} epochs on {r['device']} ({r['train_seconds']:.0f} s train
-wall time), full reduction-factor curriculum, corpus
+Run: {r['epochs']}-epoch schedule on {r['device']} ({r['train_seconds']:.0f} s
+train wall time), full reduction-factor curriculum, corpus
 {r['corpus']['n_train']} train / {r['corpus']['n_test']} test utterances.
+Evaluated checkpoint: **epoch {r.get('ckpt_epoch', r['epochs'] - 1)}**,
+selected by the free-text LER sweep over every persisted epoch
+(`scripts/freetext_epoch_sweep.py`; see "Checkpoint selection" below).
 
 | Metric | untrained | trained |
 |---|---|---|
