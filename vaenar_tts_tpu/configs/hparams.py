@@ -225,9 +225,12 @@ class PriorConfig:
     inverse: bool = False
     # Factor all invertible-linear weights with one batched LU per step
     # (models/prior.py::_linear_precompute) instead of per-layer
-    # inv/slogdet custom calls. Same math; A/B-able on chip via
-    # scripts/perf_ab_train.py --batched_lu off.
-    batched_lu: bool = True
+    # inv/slogdet custom calls. Same math (test-enforced); measured on the
+    # attached TPU v5e the per-layer path is 1.0 ms/step FASTER (28.8 vs
+    # 29.8 ms, scripts/perf_ab_train.py --batched_lu on|off) — the batched
+    # lu_solve + pivot loop serializes worse than XLA's per-layer
+    # inverses — so the default is off.
+    batched_lu: bool = False
 
 
 @dataclass(frozen=True)
