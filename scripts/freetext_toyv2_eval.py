@@ -60,6 +60,11 @@ def main() -> int:
                          "headline uses 1; the coverage term exists to "
                          "break exactly that tie and awaits re-measurement "
                          "on a trained checkpoint")
+    ap.add_argument("--takes_temperatures", default=None,
+                    help="comma list of prior temperatures the takes cycle "
+                         "through (cli.inference --takes_temperatures); "
+                         "temperature-diverse ensembling for the coverage-"
+                         "ranked selection")
     ap.add_argument("--length_source", default="mean",
                     choices=("mean", "quantile", "auto"),
                     help="length head the CLI reads (cli.inference "
@@ -95,7 +100,10 @@ def main() -> int:
 
     variant = args.out_name or (
         f"takes{args.takes}_{args.length_source}"
-        if (args.takes > 1 or args.length_source != "mean") else "freetext")
+        + (f"_temps{args.takes_temperatures.replace(',', '-')}"
+           if args.takes_temperatures else "")
+        if (args.takes > 1 or args.length_source != "mean"
+            or args.takes_temperatures) else "freetext")
     out_dir = os.path.join(args.workdir,
                            variant if variant != "freetext" else "freetext")
     os.makedirs(out_dir, exist_ok=True)
@@ -112,6 +120,8 @@ def main() -> int:
                "--test_dir", out_dir, "--write_mels",
                "--takes", str(args.takes),
                "--length_source", args.length_source]
+        if args.takes_temperatures:
+            cmd += ["--takes_temperatures", args.takes_temperatures]
         if args.ckpt_epoch is not None:
             cmd += ["--ckpt_epoch", str(args.ckpt_epoch)]
         print("running:", " ".join(cmd), flush=True)
@@ -155,6 +165,7 @@ def main() -> int:
         "n_texts": len(texts),
         "ckpt_epoch": latest,
         "takes": args.takes,
+        "takes_temperatures": args.takes_temperatures,
         "length_source": args.length_source,
         "synthesis_ler": round(mean_ler, 3),
         "decoder_floor_ler": round(mean_floor, 3),

@@ -160,3 +160,21 @@ class TestCLISurface:
         assert sum(f.endswith(".npy") for f in os.listdir(out)) == 2
         report = capsys.readouterr().out
         assert "take selection over 2 z-samples" in report
+
+    def test_free_text_takes_temperatures(self, workspace, capsys):
+        """--takes_temperatures cycles the takes through a temperature list
+        (temperature-diverse ensembling); the selection report names the
+        temperatures and artifacts still come out one-per-line."""
+        from vaenar_tts_tpu.cli import inference
+        lines = workspace / "lines3.txt"
+        lines.write_text("Hello world.\n")
+        out = str(workspace / "freetext_takes_temps")
+        inference.main(["--dataset", "ljspeech",
+                        "--text", str(lines),
+                        "--model_dir", str(workspace / "ckpt"),
+                        "--test_dir", out, "--takes", "3", "--write_mels",
+                        "--takes_temperatures", "0.4,0.6,0.8"])
+        assert sum(f.endswith(".wav") for f in os.listdir(out)) == 1
+        report = capsys.readouterr().out
+        assert ("take selection over 3 z-samples at temperatures "
+                "[0.4, 0.6, 0.8]" in report)

@@ -254,13 +254,21 @@ def synthesize_from_text(args) -> None:
         hp.dataset.mel_bucket)
     from ..utils.metrics import alignment_diagonality
 
+    # Per-take temperatures: takes cycle through --takes_temperatures when
+    # given (temperature-diverse ensembling — a broader z spread for the
+    # coverage-ranked selection to pick from), else every take samples at
+    # --temperature. Temperature is a TRACED scalar in the jitted step
+    # (training/steps.py:294-300), so varying it per take costs no recompile.
+    take_temps = ([float(x) for x in args.takes_temperatures.split(",")]
+                  if args.takes_temperatures else [args.temperature])
+
     def run_take(t: int):
         mels_t, lens_t, ali_t = inf_step(
             params, batch_stats, jnp.asarray(batch),
             jnp.asarray(np.asarray(text_lens, np.int32)),
             jax.random.fold_in(jax.random.key(args.sample_seed), t),
             reduction_factor=r, max_mel_length=max_mel,
-            temperature=args.temperature,
+            temperature=take_temps[t % len(take_temps)],
             length_headroom=args.length_headroom, use_length_quantile=use_q)
         # copies: np.asarray of a device array can be a read-only view, and
         # multi-take selection assigns into these buffers per utterance
@@ -306,8 +314,10 @@ def synthesize_from_text(args) -> None:
                     ali[k][b] = ali_t[k][b]
                 best_scores[b] = s_t[b]
                 chosen[b] = t
-        print(f"take selection over {takes} z-samples: chosen takes "
-              f"{chosen.tolist()}, score (diagonality - coverage miss) "
+        temps_note = (f" at temperatures {take_temps}"
+                      if len(take_temps) > 1 else "")
+        print(f"take selection over {takes} z-samples{temps_note}: chosen "
+              f"takes {chosen.tolist()}, score (diagonality - coverage miss) "
               f"{np.round(best_scores, 3).tolist()}")
     if args.write_mels:
         tester.write_mels(epoch, mels, pred_lens, ids, prefix="test")
@@ -365,6 +375,13 @@ def main(argv=None) -> None:
                              "attention is most monotonic AND covers the "
                              "whole text (reference-free quality selection; "
                              "each extra take is one cheap device pass)")
+    parser.add_argument("--takes_temperatures", type=str, default=None,
+                        help="free-text mode with --takes > 1: comma list of "
+                             "prior temperatures the takes cycle through "
+                             "(e.g. '0.4,0.6,0.8') — temperature-diverse "
+                             "ensembling widens the z spread the coverage-"
+                             "ranked selection picks from; default: every "
+                             "take uses --temperature")
     parser.add_argument("--write_mels", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="write trimmed mel .npy artifacts (default on; "
