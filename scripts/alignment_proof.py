@@ -240,6 +240,16 @@ def main() -> int:
                          "collapses on it (measured: scripts/"
                          "temp_sweep_eval.py; any temperature >= 0.33 is "
                          "equivalent)")
+    ap.add_argument("--probe_every", type=int, default=0,
+                    help="every N epochs, measure free-text LER through the "
+                         "real inference path on 8 held-out texts and append "
+                         "to <workdir>/ler_probe.jsonl (training/probe.py) — "
+                         "the run records its own checkpoint-selection sweep "
+                         "(ALIGNMENT.md checkpoint lottery). 0 = off")
+    ap.add_argument("--probe_temperature", type=float, default=0.6,
+                    help="probe sampling temperature (0.6 = the inference "
+                         "CLI default, so probe LER is comparable to the "
+                         "freetext_toyv2_eval tables)")
     args = ap.parse_args()
 
     from vaenar_tts_tpu.data.loader import BucketedLoader
@@ -322,9 +332,15 @@ def main() -> int:
         train_secs = (json.load(open(prev)).get("train_seconds", 0.0)
                       if os.path.exists(prev) else 0.0)
     else:
+        probe = None
+        if args.probe_every > 0:
+            from vaenar_tts_tpu.training.probe import make_toy_ler_probe
+            probe = make_toy_ler_probe(hp, args.workdir,
+                                       temperature=args.probe_temperature)
         t0 = time.time()
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
-                      os.path.join(args.workdir, "logs"), log_every=100)
+                      os.path.join(args.workdir, "logs"), log_every=100,
+                      probe=probe, probe_every=args.probe_every)
         train_secs = time.time() - t0
         ckpt_epoch = args.epochs - 1  # the loop's last saved epoch
         trained_params, trained_bs = state.params, state.batch_stats

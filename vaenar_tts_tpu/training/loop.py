@@ -115,7 +115,8 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
           max_epochs: Optional[int] = None,
           steps_per_epoch: Optional[int] = None,
           log_every: int = 50, dist=None,
-          neural_vocoder_dir: Optional[str] = None) -> TrainState:
+          neural_vocoder_dir: Optional[str] = None,
+          probe=None, probe_every: int = 0) -> TrainState:
     """Run (or resume) training. Returns the final TrainState.
 
     ``dist``: a parallel.distributed.DistContext for multi-process (pod)
@@ -123,7 +124,12 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     feeds its shard-set's slice of the global data-parallel batch, dev eval
     splits across processes, and process 0 writes checkpoints/artifacts.
     ``neural_vocoder_dir``: optional trained ISTFT-head vocoder; test-interval
-    wav artifacts then use it instead of Griffin-Lim."""
+    wav artifacts then use it instead of Griffin-Lim.
+    ``probe``: optional ``probe(epoch, state) -> dict|None`` product-metric
+    callback (training/probe.py), run every ``probe_every`` epochs right
+    after the checkpoint save so each probed epoch is also a restorable
+    checkpoint candidate. Single-process only (skipped under ``dist``);
+    failures are logged and never kill the run."""
     if dist is not None and dist.process_count == 1:
         dist = None
     is_main = dist is None or dist.is_main
@@ -430,6 +436,21 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                 or epoch == total_epochs - 1):
             _ckpt_save(epoch, state)
             last_saved_epoch = epoch
+
+        if (probe is not None and probe_every > 0 and dist is None
+                and epoch % probe_every == 0):
+            if last_saved_epoch != epoch:
+                # a probed epoch must be a restorable selection candidate
+                _ckpt_save(epoch, state)
+                last_saved_epoch = epoch
+            try:
+                scalars = probe(epoch, state)
+                if scalars:
+                    print(f"Epoch {epoch} probe: " + ", ".join(
+                        f"{k} {v:.4f}" for k, v in scalars.items()))
+                    metrics_dev.scalars(epoch, scalars)
+            except Exception as e:  # a probe must never kill the run
+                print(f"probe failed at epoch {epoch}: {e!r}")
 
         if epoch % hp.train.test_interval == 0 and test_dir:
             rng, test_sub = jax.random.split(rng)  # no key reuse with train
