@@ -52,21 +52,45 @@ echo "{\"job\": \"retrain\", \"final_epoch\": ${FINAL:-0}}" >> "$QD/status.jsonl
 # the npz feeds inference/sweeps, the tar lets resume_train_until continue
 # with optimizer state intact.
 if [ -n "${FINAL:-}" ]; then
+  # newest epoch: fp16 npz + tarred Orbax step (exact resume, optimizer
+  # state intact)
   python scripts/export_checkpoint.py --model_dir "$WD/ckpt" \
     --epoch "$FINAL" --out "$WD/ckpt/export.npz" >> "$QD/export.log" 2>&1
   tar -C "$WD/ckpt" -czf "$WD/orbax_ep$FINAL.tar.gz" "$FINAL" hparams.json \
     >> "$QD/export.log" 2>&1
   cp "$WD/corpus_stats.json" "$WD/ckpt/" 2>/dev/null || true
-  note "persisted: $(du -sh "$WD/ckpt/export.npz" "$WD/orbax_ep$FINAL.tar.gz" 2>/dev/null | tr '\n' ' ')"
+  # best-probed epoch still on disk (the in-training LER probe makes the
+  # run its own selection sweep): a second npz if it differs from newest
+  BEST=$(python - "$WD" <<'EOF'
+import json, os, sys
+wd = sys.argv[1]
+try:
+    rows = [json.loads(l) for l in open(os.path.join(wd, "ler_probe.jsonl"))]
+    on_disk = {int(n) for n in os.listdir(os.path.join(wd, "ckpt"))
+               if n.isdigit()}
+    rows = [r for r in rows if r["epoch"] in on_disk]
+    print(min(rows, key=lambda r: r["probe_ler"])["epoch"] if rows else "")
+except Exception:
+    print("")
+EOF
+)
+  note "best probed epoch on disk: ${BEST:-none}"
+  if [ -n "$BEST" ] && [ "$BEST" != "$FINAL" ]; then
+    python scripts/export_checkpoint.py --model_dir "$WD/ckpt" \
+      --epoch "$BEST" --out "$WD/ckpt/export_best_ep$BEST.npz" \
+      >> "$QD/export.log" 2>&1
+  fi
+  note "persisted: $(du -sh "$WD"/ckpt/export*.npz "$WD/orbax_ep$FINAL.tar.gz" 2>/dev/null | tr '\n' ' ')"
 fi
 
-# -- 3. quick LER probe at the newest persisted epoch ----------------------------
+# -- 3. offline LER confirmation at the selected epoch (n=16, real CLI) ----------
+SEL=${BEST:-${FINAL:-}}
 left=$((PROBE_DEADLINE - $(date +%s)))
-if [ -n "${FINAL:-}" ] && [ "$left" -gt 300 ]; then
-  note "probe: freetext eval at epoch $FINAL (${left}s budget)"
-  timeout "$left" python scripts/freetext_toyv2_eval.py --n 8 \
-    --workdir "$WD" --ckpt_dir "$WD/ckpt" --ckpt_epoch "$FINAL" \
-    --out_name "probe_ep$FINAL" > "$QD/probe.log" 2>&1
+if [ -n "$SEL" ] && [ "$left" -gt 300 ]; then
+  note "probe: freetext eval at epoch $SEL (${left}s budget)"
+  timeout "$left" python scripts/freetext_toyv2_eval.py --n 16 \
+    --workdir "$WD" --ckpt_dir "$WD/ckpt" --ckpt_epoch "$SEL" \
+    --out_name "probe_ep$SEL" > "$QD/probe.log" 2>&1
   note "probe rc=$?"
 fi
 note "queue6 complete"
