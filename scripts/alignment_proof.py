@@ -250,6 +250,12 @@ def main() -> int:
                     help="probe sampling temperature (0.6 = the inference "
                          "CLI default, so probe LER is comparable to the "
                          "freetext_toyv2_eval tables)")
+    ap.add_argument("--stop_probe_ler", type=float, default=0.0,
+                    help="early-stop when a probe's mean LER lands at or "
+                         "under this (0 = never): the checkpoint lottery "
+                         "stops the moment a winning epoch exists instead "
+                         "of training through more oscillation. The probed "
+                         "epoch is already saved when the stop fires")
     args = ap.parse_args()
 
     from vaenar_tts_tpu.data.loader import BucketedLoader
@@ -337,6 +343,19 @@ def main() -> int:
             from vaenar_tts_tpu.training.probe import make_toy_ler_probe
             probe = make_toy_ler_probe(hp, args.workdir,
                                        temperature=args.probe_temperature)
+            if args.stop_probe_ler > 0:
+                inner, target = probe, args.stop_probe_ler
+
+                def probe(epoch, state, _inner=inner, _t=target):
+                    scalars = _inner(epoch, state)
+                    if scalars and scalars.get("probe_ler", 1.0) <= _t:
+                        scalars["stop_training"] = True
+                        # sentinel for restart-on-death drivers
+                        # (chip_queue6.sh): do NOT relaunch past this
+                        with open(os.path.join(args.workdir,
+                                               "PROBE_STOP"), "w") as f:
+                            f.write(f"{epoch} {scalars['probe_ler']:.4f}\n")
+                    return scalars
         t0 = time.time()
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
                       os.path.join(args.workdir, "logs"), log_every=100,

@@ -35,11 +35,15 @@ while :; do
   note "chunk: checkpoints at epoch $cur / $TARGET, ${left}s left"
   [ "$left" -lt 120 ] && break
   [ "$cur" -ge $((TARGET - 1)) ] && break
+  if [ -f "$WD/PROBE_STOP" ]; then
+    note "probe early-stop: $(cat "$WD/PROBE_STOP")"
+    break
+  fi
   ( ulimit -v "$CAP_KB"
     exec timeout "$left" python scripts/alignment_proof.py \
       --workdir "$WD" --epochs "$TARGET" --stages_epochs 1200 \
       --quantile 0.9 --train_seed "$SEED" \
-      --probe_every 50 ) >> "$QD/retrain.log" 2>&1
+      --probe_every 50 --stop_probe_ler 0.12 ) >> "$QD/retrain.log" 2>&1
   note "chunk exited rc=$?"
   sleep 10
 done

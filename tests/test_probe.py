@@ -70,3 +70,23 @@ def test_probe_failure_does_not_kill_training(workspace, tmp_path):
                   str(tmp_path / "logs"), test_dir=None, max_epochs=2,
                   steps_per_epoch=2, probe=bad_probe, probe_every=1)
     assert state.epoch == 2
+
+
+def test_probe_early_stop(workspace, tmp_path):
+    from vaenar_tts_tpu.training.loop import train
+
+    calls = []
+
+    def stopping_probe(epoch, state):
+        calls.append(epoch)
+        return {"probe_ler": 0.05, "stop_training": True}
+
+    hp = _small_hp()
+    state = train(hp, str(workspace / "records"), str(tmp_path / "ckpt"),
+                  str(tmp_path / "logs"), test_dir=None, max_epochs=5,
+                  steps_per_epoch=2, probe=stopping_probe, probe_every=1)
+    assert calls == [1]
+    assert state.epoch == 1
+    # the stop epoch is on disk (probe forces the save before stopping)
+    import os
+    assert os.path.isdir(os.path.join(tmp_path, "ckpt", "1"))

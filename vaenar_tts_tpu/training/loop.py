@@ -446,9 +446,17 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
             try:
                 scalars = probe(epoch, state)
                 if scalars:
+                    stop = bool(scalars.pop("stop_training", False))
                     print(f"Epoch {epoch} probe: " + ", ".join(
                         f"{k} {v:.4f}" for k, v in scalars.items()))
                     metrics_dev.scalars(epoch, scalars)
+                    if stop:
+                        # probe-driven early stop (e.g. the free-text LER
+                        # target was hit — no point training through more
+                        # lottery epochs); the epoch is already saved above
+                        print(f"stopping after epoch {epoch}: probe "
+                              f"requested early stop")
+                        break
             except Exception as e:  # a probe must never kill the run
                 print(f"probe failed at epoch {epoch}: {e!r}")
 
