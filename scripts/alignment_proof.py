@@ -522,17 +522,20 @@ free-text CLI path; the headline evaluates the argmin (epoch
         rows = ([json.load(open(base_path))] if os.path.exists(base_path)
                 else []) + ft_variants
         body = "\n".join(
-            f"| {x.get('takes', 1)} | {x.get('length_source', 'mean')} | "
+            f"| {x.get('takes', 1)} | "
+            f"{x.get('takes_temperatures') or '0.6'} | "
+            f"{x.get('length_source', 'mean')} | "
             f"**{x['synthesis_ler']:.3f}** | {x['decoder_floor_ler']:.3f} |"
             for x in rows)
         sweep_md += f"""
 ## Free-text feature A/B (same {rows[0]['n_texts']} held-out texts)
 
 Mean letters-only LER by inference feature (coverage-ranked multi-take
-`--takes`, learned p90 `--length_source quantile`):
+`--takes`, per-take temperature spread `--takes_temperatures`, learned p90
+`--length_source quantile`):
 
-| takes | length source | mean LER | decoder floor |
-|---|---|---|---|
+| takes | temperatures | length source | mean LER | decoder floor |
+|---|---|---|---|---|
 {body}
 """
     ft_path = os.path.join(os.path.dirname(sweep_path or ""),
