@@ -256,6 +256,13 @@ def main() -> int:
                          "stops the moment a winning epoch exists instead "
                          "of training through more oscillation. The probed "
                          "epoch is already saved when the stop fires")
+    ap.add_argument("--train_only", action="store_true",
+                    help="train (or resume) and exit right after the loop "
+                         "returns: no untrained baseline, no post-train "
+                         "chip evaluation, no alignment_proof.json. For "
+                         "deadline-chunked drivers (chip queues) where a "
+                         "killed chunk must not keep the chip busy with "
+                         "evals; run the eval once on the finished run")
     args = ap.parse_args()
 
     from vaenar_tts_tpu.data.loader import BucketedLoader
@@ -298,12 +305,43 @@ def main() -> int:
         import dataclasses as _dc
         hp = hp.replace(train=_dc.replace(hp.train,
                                           random_seed=args.train_seed))
+    if args.probe_every > 0:
+        # a probed epoch must stay a restorable selection candidate for the
+        # WHOLE run: the default keep-20 would garbage-collect early probed
+        # epochs of a long lottery (probe.py's export_best.npz additionally
+        # makes the best weights durable even if the process dies)
+        import dataclasses as _dc
+        keep = max(hp.train.checkpoint_max_to_keep,
+                   args.epochs // args.probe_every + 5)
+        hp = hp.replace(train=_dc.replace(
+            hp.train, checkpoint_max_to_keep=keep))
     print(f"config: latent {hp.common.latent_dim}, kl "
           f"{hp.train.kl_weight_init} -> {hp.train.kl_weight_end} "
           f"(anneal {hp.train.kl_weight_increase_epoch} ep), "
           f"seed {hp.train.random_seed}")
     model = VAENAR(hp)
     final_r = hp.train.reduction_factor_at(args.epochs - 1)
+
+    def make_probe():
+        if args.probe_every <= 0:
+            return None
+        from vaenar_tts_tpu.training.probe import (make_toy_ler_probe,
+                                                   with_early_stop)
+        probe = make_toy_ler_probe(hp, args.workdir,
+                                   temperature=args.probe_temperature)
+        if args.stop_probe_ler > 0:
+            probe = with_early_stop(probe, "probe_ler", args.stop_probe_ler,
+                                    args.workdir)
+        return probe
+
+    if args.train_only:
+        t0 = time.time()
+        state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
+                      os.path.join(args.workdir, "logs"), log_every=100,
+                      probe=make_probe(), probe_every=args.probe_every)
+        print(f"train_only done: epoch {int(state.epoch)} in "
+              f"{time.time() - t0:.1f}s")
+        return 0
 
     test_loader = BucketedLoader(
         list_shards(data_dir, "test"), hp.train.test_batch_size,
@@ -338,30 +376,15 @@ def main() -> int:
         train_secs = (json.load(open(prev)).get("train_seconds", 0.0)
                       if os.path.exists(prev) else 0.0)
     else:
-        probe = None
-        if args.probe_every > 0:
-            from vaenar_tts_tpu.training.probe import make_toy_ler_probe
-            probe = make_toy_ler_probe(hp, args.workdir,
-                                       temperature=args.probe_temperature)
-            if args.stop_probe_ler > 0:
-                inner, target = probe, args.stop_probe_ler
-
-                def probe(epoch, state, _inner=inner, _t=target):
-                    scalars = _inner(epoch, state)
-                    if scalars and scalars.get("probe_ler", 1.0) <= _t:
-                        scalars["stop_training"] = True
-                        # sentinel for restart-on-death drivers
-                        # (chip_queue6.sh): do NOT relaunch past this
-                        with open(os.path.join(args.workdir,
-                                               "PROBE_STOP"), "w") as f:
-                            f.write(f"{epoch} {scalars['probe_ler']:.4f}\n")
-                    return scalars
         t0 = time.time()
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
                       os.path.join(args.workdir, "logs"), log_every=100,
-                      probe=probe, probe_every=args.probe_every)
+                      probe=make_probe(), probe_every=args.probe_every)
         train_secs = time.time() - t0
-        ckpt_epoch = args.epochs - 1  # the loop's last saved epoch
+        # the loop's last saved epoch — NOT args.epochs - 1: an early stop
+        # (--stop_probe_ler) or a SIGTERM/deadline-bounded chunk returns at
+        # state.epoch, and the JSON must record a checkpoint that exists
+        ckpt_epoch = int(state.epoch)
         trained_params, trained_bs = state.params, state.batch_stats
 
     after = evaluate(hp, model, trained_params, trained_bs, test_loader,
@@ -523,6 +546,7 @@ free-text CLI path; the headline evaluates the argmin (epoch
                 else []) + ft_variants
         body = "\n".join(
             f"| {x.get('takes', 1)} | "
+            f"{x.get('take_score', 'coverage')} | "
             f"{x.get('takes_temperatures') or '0.6'} | "
             f"{x.get('length_source', 'mean')} | "
             f"**{x['synthesis_ler']:.3f}** | {x['decoder_floor_ler']:.3f} |"
@@ -530,12 +554,13 @@ free-text CLI path; the headline evaluates the argmin (epoch
         sweep_md += f"""
 ## Free-text feature A/B (same {rows[0]['n_texts']} held-out texts)
 
-Mean letters-only LER by inference feature (coverage-ranked multi-take
-`--takes`, per-take temperature spread `--takes_temperatures`, learned p90
+Mean letters-only LER by inference feature (multi-take `--takes` with
+attention-coverage or content-aware medoid selection `--take_score`,
+per-take temperature spread `--takes_temperatures`, learned p90
 `--length_source quantile`):
 
-| takes | temperatures | length source | mean LER | decoder floor |
-|---|---|---|---|---|
+| takes | take score | temperatures | length source | mean LER | decoder floor |
+|---|---|---|---|---|---|
 {body}
 """
     ft_path = os.path.join(os.path.dirname(sweep_path or ""),

@@ -49,7 +49,20 @@ def test_probe_records_ler_and_forces_checkpoints(workspace, tmp_path):
     assert os.path.isfile(path)
     rows = [json.loads(l) for l in open(path)]
     assert [r["epoch"] for r in rows] == [3]
-    assert all(0.0 <= r["probe_ler"] <= 1.0 for r in rows)
+    # LER (Levenshtein/len(ref)) is unbounded ABOVE 1: a garbage-emitting
+    # tiny model can insert more letters than the reference has
+    import math
+    assert all(r["probe_ler"] >= 0.0 and math.isfinite(r["probe_ler"])
+               for r in rows)
+    # the improving probe persisted a durable running-best export: a wedge
+    # or OOM after this point cannot lose the best-probed weights
+    assert os.path.isfile(os.path.join(out, "export_best.npz"))
+    best = json.load(open(os.path.join(out, "export_best.json")))
+    assert best["epoch"] == 3
+    assert best["probe_ler"] == pytest.approx(rows[0]["probe_ler"], abs=1e-3)
+    from vaenar_tts_tpu.utils.export import load_npz
+    exported = load_npz(os.path.join(out, "export_best.npz"))
+    assert exported["epoch"] == 3 and "params" in exported
     # epoch 3 is NOT on the every-2 checkpoint cadence but was probed, so
     # the loop must have forced a save (restorable selection candidate)...
     assert os.path.isdir(os.path.join(model_dir, "3"))
@@ -70,6 +83,69 @@ def test_probe_failure_does_not_kill_training(workspace, tmp_path):
                   str(tmp_path / "logs"), test_dir=None, max_epochs=2,
                   steps_per_epoch=2, probe=bad_probe, probe_every=1)
     assert state.epoch == 2
+
+
+def test_dev_mcd_probe_records_and_exports(workspace, tmp_path):
+    """Real-corpus probe (VERDICT r4 item 5): dev-set MCD-DTW through the
+    inference path on the checkpoint cadence, same jsonl/early-stop/export
+    contract as the toy LER probe."""
+    from vaenar_tts_tpu.training.loop import train
+    from vaenar_tts_tpu.training.probe import make_dev_mcd_probe
+
+    hp = _small_hp()
+    out = str(tmp_path / "probe_wd")
+    probe = make_dev_mcd_probe(hp, str(workspace / "records"), out, n_utts=2)
+    train(hp, str(workspace / "records"), str(tmp_path / "ckpt"),
+          str(tmp_path / "logs"), test_dir=None, max_epochs=2,
+          steps_per_epoch=2, probe=probe, probe_every=2)
+
+    rows = [json.loads(l) for l in open(os.path.join(out, "mcd_probe.jsonl"))]
+    assert [r["epoch"] for r in rows] == [2]
+    assert rows[0]["probe_mcd_dtw"] > 0.0
+    assert -1.0 <= rows[0]["probe_diag"] <= 1.0
+    assert os.path.isfile(os.path.join(out, "export_best.npz"))
+    best = json.load(open(os.path.join(out, "export_best.json")))
+    assert best["epoch"] == 2
+    # scalars reach the dev metrics stream
+    mpath = os.path.join(tmp_path, "logs", "dev", "metrics.jsonl")
+    recs = [json.loads(l) for l in open(mpath)]
+    assert any("probe_mcd_dtw" in r.get("scalars", r) for r in recs)
+
+
+def test_with_early_stop_wrapper(tmp_path):
+    from vaenar_tts_tpu.training.probe import with_early_stop
+
+    def probe(epoch, state):
+        return {"probe_mcd_dtw": 3.0}
+
+    wd = str(tmp_path)
+    miss = with_early_stop(probe, "probe_mcd_dtw", 2.0, wd)(1, None)
+    assert "stop_training" not in miss
+    assert not os.path.exists(os.path.join(wd, "PROBE_STOP"))
+    hit = with_early_stop(probe, "probe_mcd_dtw", 3.5, wd)(2, None)
+    assert hit["stop_training"] is True
+    assert open(os.path.join(wd, "PROBE_STOP")).read().startswith("2 ")
+
+
+def test_best_exporter_resumes_from_history(tmp_path):
+    """A restarted chunk must not clobber a better export from an earlier
+    chunk (the ADVICE r4 retention scenario)."""
+    from vaenar_tts_tpu.training.probe import _BestExporter
+
+    class FakeState:
+        params = {"w": __import__("numpy").zeros(3)}
+        batch_stats = {}
+
+    wd = str(tmp_path)
+    ex = _BestExporter(wd, "probe_ler", "ler_probe.jsonl")
+    assert ex.maybe_export(10, FakeState(), 0.5)
+    assert not ex.maybe_export(20, FakeState(), 0.6)  # worse: no export
+    # fresh process (chunk restart): picks the sidecar best back up
+    ex2 = _BestExporter(wd, "probe_ler", "ler_probe.jsonl")
+    assert ex2.best == pytest.approx(0.5)
+    assert not ex2.maybe_export(30, FakeState(), 0.55)
+    assert ex2.maybe_export(40, FakeState(), 0.4)
+    assert json.load(open(os.path.join(wd, "export_best.json")))["epoch"] == 40
 
 
 def test_probe_early_stop(workspace, tmp_path):

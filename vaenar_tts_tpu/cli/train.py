@@ -59,6 +59,23 @@ def main(argv=None) -> None:
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="multi-host: jax.distributed.initialize() and "
                              "shard input batches by process")
+    parser.add_argument("--probe", type=str, default="none",
+                        choices=["none", "dev_mcd", "toy_ler"],
+                        help="in-training product-metric probe on the "
+                             "checkpoint cadence (training/probe.py): "
+                             "'dev_mcd' synthesizes a fixed dev subset "
+                             "through the real inference path and logs "
+                             "DTW-MCD vs ground truth + decoder diagonality "
+                             "(checkpoint selection for real corpora); "
+                             "'toy_ler' transcribes held-out toy-v2 "
+                             "free text (toy corpus only). Each improving "
+                             "probe also persists export_best.npz")
+    parser.add_argument("--probe_every", type=int, default=50,
+                        help="probe cadence in epochs (with --probe)")
+    parser.add_argument("--stop_probe", type=float, default=0.0,
+                        help="early-stop when the probe metric (dev_mcd: "
+                             "MCD-DTW dB; toy_ler: LER) lands at or under "
+                             "this (0 = never stop)")
     args = parser.parse_args(argv)
 
     # persistent XLA compilation cache: restarts skip the 1-2 min compiles
@@ -98,10 +115,25 @@ def main(argv=None) -> None:
     os.makedirs(args.log_dir, exist_ok=True)
     Logger(args.log_dir).install()
 
+    probe = None
+    if args.probe != "none":
+        from ..training.probe import (make_dev_mcd_probe, make_toy_ler_probe,
+                                      with_early_stop)
+        probe_dir = os.path.dirname(os.path.abspath(args.model_dir))
+        if args.probe == "dev_mcd":
+            probe = make_dev_mcd_probe(hparams, args.data_dir, probe_dir)
+            metric = "probe_mcd_dtw"
+        else:
+            probe = make_toy_ler_probe(hparams, probe_dir)
+            metric = "probe_ler"
+        if args.stop_probe > 0:
+            probe = with_early_stop(probe, metric, args.stop_probe, probe_dir)
+
     train(hparams, args.data_dir, args.model_dir, args.log_dir,
           test_dir=args.test_dir, max_epochs=args.max_epochs,
           steps_per_epoch=args.steps_per_epoch, log_every=args.log_every,
-          dist=dist, neural_vocoder_dir=args.neural_vocoder)
+          dist=dist, neural_vocoder_dir=args.neural_vocoder,
+          probe=probe, probe_every=args.probe_every)
 
 
 if __name__ == "__main__":
