@@ -60,6 +60,13 @@ def main() -> int:
                          "headline uses 1; the coverage term exists to "
                          "break exactly that tie and awaits re-measurement "
                          "on a trained checkpoint")
+    ap.add_argument("--take_score", default="coverage",
+                    choices=("coverage", "medoid"),
+                    help="multi-take selection rule (cli.inference "
+                         "--take_score): 'coverage' = diagonality minus "
+                         "coverage miss (round-4 behavior), 'medoid' = "
+                         "content-aware pairwise-DTW-MCD consensus "
+                         "(VERDICT r4 item 3)")
     ap.add_argument("--takes_temperatures", default=None,
                     help="comma list of prior temperatures the takes cycle "
                          "through (cli.inference --takes_temperatures); "
@@ -100,6 +107,7 @@ def main() -> int:
 
     variant = args.out_name or (
         f"takes{args.takes}_{args.length_source}"
+        + (f"_{args.take_score}" if args.take_score != "coverage" else "")
         + (f"_temps{args.takes_temperatures.replace(',', '-')}"
            if args.takes_temperatures else "")
         if (args.takes > 1 or args.length_source != "mean"
@@ -119,6 +127,7 @@ def main() -> int:
                                                             "ckpt"),
                "--test_dir", out_dir, "--write_mels",
                "--takes", str(args.takes),
+               "--take_score", args.take_score,
                "--length_source", args.length_source]
         if args.takes_temperatures:
             cmd += ["--takes_temperatures", args.takes_temperatures]
@@ -165,6 +174,7 @@ def main() -> int:
         "n_texts": len(texts),
         "ckpt_epoch": latest,
         "takes": args.takes,
+        "take_score": args.take_score,
         "takes_temperatures": args.takes_temperatures,
         "length_source": args.length_source,
         "synthesis_ler": round(mean_ler, 3),

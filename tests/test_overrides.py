@@ -85,6 +85,30 @@ class TestMetrics:
         assert s["mcd_dtw_db"] == pytest.approx(0.0, abs=1e-9)
         assert "mcd_dtw_db" not in batch_summary([(a, a)])
 
+    def test_medoid_take_rejects_outlier(self):
+        from vaenar_tts_tpu.utils.metrics import medoid_take
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((40, 80))
+        # three healthy takes: same content, differing timing + tiny noise
+        takes = [base + 0.02 * rng.standard_normal(base.shape),
+                 np.repeat(base, 2, axis=0)[::2]
+                 + 0.02 * rng.standard_normal(base.shape),
+                 np.concatenate([base[:10], base[8:]])]
+        # one breakdown take: garbled second half (the failure mode
+        # multi-take selection exists to catch)
+        broken = base.copy()
+        broken[20:] = rng.standard_normal((20, 80)) * 3.0
+        for pos in range(4):  # outlier position must not matter
+            cand = takes[:pos] + [broken] + takes[pos:]
+            idx, d = medoid_take(cand, frame_stride=1)
+            assert idx != pos
+            assert d.shape == (4, 4) and d[pos].sum() == max(d.sum(1))
+
+    def test_medoid_take_single(self):
+        from vaenar_tts_tpu.utils.metrics import medoid_take
+        idx, d = medoid_take([np.zeros((10, 80))])
+        assert idx == 0 and d.shape == (1, 1)
+
 
 class TestSerialize:
     def test_roundtrip(self, tmp_path):

@@ -278,7 +278,33 @@ def synthesize_from_text(args) -> None:
 
     takes = max(1, args.takes)
     mels, pred_lens, ali = run_take(0)
-    if takes > 1:
+    if takes > 1 and args.take_score == "medoid":
+        # Content-aware selection (utils/metrics.py::medoid_take): keep, per
+        # line, the take spectrally closest (DTW-MCD) to the rest of the
+        # ensemble. Breakdown takes are outliers their siblings expose; the
+        # attention-based score below saturates on trained models and cannot
+        # rank them (ALIGNMENT.md "take selection").
+        from ..utils.metrics import medoid_take
+        all_takes = [(mels, pred_lens, ali)]
+        all_takes += [run_take(t) for t in range(1, takes)]
+        chosen = np.zeros(len(texts), np.int32)
+        spreads = []
+        for b in range(len(texts)):
+            cand = [tk[0][b][: max(int(tk[1][b]), 1)] for tk in all_takes]
+            idx, dmat = medoid_take(cand)
+            chosen[b] = idx
+            spreads.append(float(dmat.sum()
+                                 / max(dmat.size - len(cand), 1)))
+            mels[b] = all_takes[idx][0][b]
+            pred_lens[b] = all_takes[idx][1][b]
+            for k in ali:
+                ali[k][b] = all_takes[idx][2][k][b]
+        temps_note = (f" at temperatures {take_temps}"
+                      if len(take_temps) > 1 else "")
+        print(f"medoid take selection over {takes} z-samples{temps_note}: "
+              f"chosen takes {chosen.tolist()}, mean pairwise DTW-MCD (dB) "
+              f"{np.round(spreads, 2).tolist()}")
+    elif takes > 1:
         # Multi-take selection, REFERENCE-FREE: prior sampling is stochastic
         # (temperature > 0), and the decoder's own cross-attention is a
         # quality signal that needs no ground truth — a take whose alignment
@@ -375,6 +401,15 @@ def main(argv=None) -> None:
                              "attention is most monotonic AND covers the "
                              "whole text (reference-free quality selection; "
                              "each extra take is one cheap device pass)")
+    parser.add_argument("--take_score", type=str, default="coverage",
+                        choices=["coverage", "medoid"],
+                        help="multi-take selection rule: 'coverage' ranks by "
+                             "decoder-attention diagonality minus text-"
+                             "coverage miss (reference-free, saturates on "
+                             "trained models); 'medoid' keeps the take "
+                             "spectrally closest (pairwise DTW-MCD) to the "
+                             "other takes — content breakdowns are ensemble "
+                             "outliers (utils/metrics.py::medoid_take)")
     parser.add_argument("--takes_temperatures", type=str, default=None,
                         help="free-text mode with --takes > 1: comma list of "
                              "prior temperatures the takes cycle through "

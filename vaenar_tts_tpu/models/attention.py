@@ -195,10 +195,9 @@ class MultiHeadAttention(nn.Module):
             contexts = masked_flash_attention(
                 qh, kh, vh, query_lengths, memory_lengths,
                 scale=scale, causal=causal)
-            # alignments are not materialized on the fused path; recompute
-            # lazily only when a caller asks (plots). Return a zero-size
-            # placeholder is hostile; instead compute alignments with XLA only
-            # if needed by callers - here we return None-like empty array.
+            # the fused kernel never materializes the [B,H,Tq,Tk] weights;
+            # callers that need them (alignment plots) use the plots twin
+            # (training/steps.py::plots_variant), which takes the XLA branch
             alignments = None
         else:
             mask = attention_mask(query_lengths, memory_lengths, batch, tq, tk,

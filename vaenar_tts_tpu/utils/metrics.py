@@ -90,6 +90,36 @@ def mcd_dtw(pred: np.ndarray, ref: np.ndarray, n_coeffs: int = 13) -> float:
     return float(cost[tp, tr] / max(n, 1))
 
 
+def medoid_take(mels: Sequence[np.ndarray], frame_stride: int = 4
+                ) -> tuple:
+    """Content-aware multi-take selection: the MEDOID by pairwise DTW-MCD.
+
+    ``mels``: one utterance's takes, each [T_t, D] trimmed to its own
+    predicted length. Prior-sample synthesis occasionally breaks down
+    mid-utterance (garbled or skipped content); such takes are OUTLIERS of
+    the take ensemble — spectrally far from every sibling — while healthy
+    takes of the same text agree up to timing. The take minimizing the
+    summed DTW-MCD to all others is therefore the consensus render, with no
+    reference audio and no saturating attention statistic involved (the
+    diagonality-coverage score saturates ~0.95 on trained models and cannot
+    rank takes, DESIGN.md §10 / ALIGNMENT.md).
+
+    ``frame_stride`` subsamples frames before the O(T^2) host-side DTW;
+    medoid choice is insensitive to it (the outlier gap is tens of dB).
+
+    Returns ``(medoid_index, distance_matrix)`` — the matrix is the
+    takes x takes DTW-MCD table (dB) for diagnostics/logging.
+    """
+    n = len(mels)
+    d = np.zeros((n, n))
+    if n > 1:
+        sub = [np.asarray(m)[::max(frame_stride, 1)] for m in mels]
+        for i in range(n):
+            for j in range(i + 1, n):
+                d[i, j] = d[j, i] = mcd_dtw(sub[i], sub[j])
+    return int(np.argmin(d.sum(axis=1))), d
+
+
 def alignment_diagonality(ali: np.ndarray, mel_len: int, text_len: int
                           ) -> Dict[str, float]:
     """Monotonic-alignment score for one utterance's cross-attention.
