@@ -246,6 +246,11 @@ def main() -> int:
                          "to <workdir>/ler_probe.jsonl (training/probe.py) — "
                          "the run records its own checkpoint-selection sweep "
                          "(ALIGNMENT.md checkpoint lottery). 0 = off")
+    ap.add_argument("--probe_start", type=int, default=0,
+                    help="skip probes before this epoch (the LER probe is "
+                         "measured uninformative — ~1.0 flat — before the "
+                         "r-curriculum's final stage; each probe costs "
+                         "chip time)")
     ap.add_argument("--probe_temperature", type=float, default=0.6,
                     help="probe sampling temperature (0.6 = the inference "
                          "CLI default, so probe LER is comparable to the "
@@ -338,7 +343,8 @@ def main() -> int:
         t0 = time.time()
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
                       os.path.join(args.workdir, "logs"), log_every=100,
-                      probe=make_probe(), probe_every=args.probe_every)
+                      probe=make_probe(), probe_every=args.probe_every,
+                      probe_start=args.probe_start)
         print(f"train_only done: epoch {int(state.epoch)} in "
               f"{time.time() - t0:.1f}s")
         return 0
@@ -379,7 +385,8 @@ def main() -> int:
         t0 = time.time()
         state = train(hp, data_dir, os.path.join(args.workdir, "ckpt"),
                       os.path.join(args.workdir, "logs"), log_every=100,
-                      probe=make_probe(), probe_every=args.probe_every)
+                      probe=make_probe(), probe_every=args.probe_every,
+                      probe_start=args.probe_start)
         train_secs = time.time() - t0
         # the loop's last saved epoch — NOT args.epochs - 1: an early stop
         # (--stop_probe_ler) or a SIGTERM/deadline-bounded chunk returns at

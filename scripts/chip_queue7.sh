@@ -21,7 +21,7 @@ QD=artifacts/chipq7
 mkdir -p "$QD"
 : "${TRAIN_DEADLINE:?epoch seconds}"
 : "${SEEDS:=777 20250 31337}" "${TARGET:=1800}" "${STOP_LER:=0.12}"
-: "${PER_SEED_S:=7200}"
+: "${PER_SEED_S:=7200}" "${PROBE_START:=1200}"
 
 note() { echo "[chipq7 $(date -u +%H:%M:%S)] $*"; }
 
@@ -39,6 +39,7 @@ for SEED in $SEEDS; do
   DEADLINE=$seed_deadline bash scripts/resume_train_until.sh \
     "$WD" "$TARGET" 1200 0.9 "$SEED" \
     --probe_every 50 --stop_probe_ler "$STOP_LER" --train_only \
+    --probe_start "$PROBE_START" \
     >> "$QD/retrain_s$SEED.log" 2>&1
 
   FINAL=$(ls "$WD/ckpt" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)

@@ -85,6 +85,26 @@ def test_probe_failure_does_not_kill_training(workspace, tmp_path):
     assert state.epoch == 2
 
 
+def test_probe_start_skips_early_epochs(workspace, tmp_path):
+    """probe_start gates the probe cadence: LER is measured uninformative
+    (~1.0 flat) before the r-curriculum's final stage, so the lottery
+    harness skips those probes to save chip time."""
+    from vaenar_tts_tpu.training.loop import train
+
+    seen = []
+
+    def recording_probe(epoch, state):
+        seen.append(epoch)
+        return {"probe_ler": 1.0}
+
+    hp = _small_hp()
+    train(hp, str(workspace / "records"), str(tmp_path / "ckpt"),
+          str(tmp_path / "logs"), test_dir=None, max_epochs=4,
+          steps_per_epoch=2, probe=recording_probe, probe_every=1,
+          probe_start=3)
+    assert seen == [3, 4]
+
+
 def test_dev_mcd_probe_records_and_exports(workspace, tmp_path):
     """Real-corpus probe (VERDICT r4 item 5): dev-set MCD-DTW through the
     inference path on the checkpoint cadence, same jsonl/early-stop/export

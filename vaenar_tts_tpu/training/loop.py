@@ -116,7 +116,8 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
           steps_per_epoch: Optional[int] = None,
           log_every: int = 50, dist=None,
           neural_vocoder_dir: Optional[str] = None,
-          probe=None, probe_every: int = 0) -> TrainState:
+          probe=None, probe_every: int = 0,
+          probe_start: int = 0) -> TrainState:
     """Run (or resume) training. Returns the final TrainState.
 
     ``dist``: a parallel.distributed.DistContext for multi-process (pod)
@@ -129,7 +130,10 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     callback (training/probe.py), run every ``probe_every`` epochs right
     after the checkpoint save so each probed epoch is also a restorable
     checkpoint candidate. Single-process only (skipped under ``dist``);
-    failures are logged and never kill the run."""
+    failures are logged and never kill the run.
+    ``probe_start``: skip probes before this epoch — the free-text LER is
+    measured uninformative (~1.0 flat) before the r-curriculum's final
+    stage, and each probe costs chip time."""
     if dist is not None and dist.process_count == 1:
         dist = None
     is_main = dist is None or dist.is_main
@@ -438,7 +442,7 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
             last_saved_epoch = epoch
 
         if (probe is not None and probe_every > 0 and dist is None
-                and epoch % probe_every == 0):
+                and epoch >= probe_start and epoch % probe_every == 0):
             if last_saved_epoch != epoch:
                 # a probed epoch must be a restorable selection candidate
                 _ckpt_save(epoch, state)
