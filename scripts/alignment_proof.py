@@ -282,7 +282,12 @@ def main() -> int:
         shutil.rmtree(args.workdir)
     data_dir = os.path.join(args.workdir, "records")
     stats_path = os.path.join(args.workdir, "corpus_stats.json")
-    if not os.path.exists(stats_path):
+    # key regeneration off the RECORDS, not the stats file: corpus_stats.json
+    # is committed (tiny) while records/ is gitignored, so a reimaged host
+    # leaves the stats without the shards and a stats-only check starves the
+    # loader (burned the seed-777 queue slot in round 5)
+    if (not os.path.isdir(data_dir) or not os.listdir(data_dir)
+            or not os.path.exists(stats_path)):
         print(f"generating toy corpus v{args.corpus_version} ...")
         from vaenar_tts_tpu.configs import get_config
         counts = (dict(n_train=24, n_dev=4, n_test=4, train_split=2)
