@@ -37,10 +37,18 @@ PY
 EOF
 note "lottery winner: $WD epoch $EPOCH (probe LER $BESTLER)"
 
+# stage the winner as a standalone model dir: the best-probed epoch's Orbax
+# step can be garbage-collected (max_to_keep=20) and cli.inference only
+# falls back to an npz when NO epoch is pinned, so evaluate the durable
+# export_best.npz directly instead of --ckpt_epoch
+mkdir -p "$WD/best"
+cp "$WD/export_best.npz" "$WD/best/export.npz"
+cp "$WD/ckpt/hparams.json" "$WD/best/"
+
 EV() { # EV <extra freetext_toyv2_eval args...>
   note "eval: $*"
   timeout 1800 python scripts/freetext_toyv2_eval.py \
-    --workdir "$WD" --ckpt_epoch "$EPOCH" --n 16 "$@" \
+    --workdir "$WD" --ckpt_dir "$WD/best" --n 16 "$@" \
     || note "eval FAILED (rc=$?): $*"
 }
 
