@@ -94,7 +94,12 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
     tr = dataclasses.replace(
         hp.train, epochs=epochs, test_interval=max(epochs // 4, 1),
         reduce_interval=(0, stage, 2 * stage, 3 * stage),
-        checkpoint_every_n_epochs=50)
+        checkpoint_every_n_epochs=50,
+        # the toy corpus (~150 MB stacked) lives in HBM for the whole run:
+        # one lax.scan dispatch per epoch instead of re-uploading every
+        # batch over the tunnel (measured 5.8 s/epoch -> transfer-free;
+        # TrainConfig.device_data_cache_mb)
+        device_data_cache_mb=512)
     if kl_weight is not None:
         tr = dataclasses.replace(tr, kl_weight_init=kl_weight,
                                  kl_weight_end=kl_weight)

@@ -88,6 +88,18 @@ class TrainConfig:
     # (ops/flash_attention.PALLAS_MIN_SCORE_ELEMENTS_BY_HEAD_DIM); >0
     # overrides it globally.
     pallas_min_score_elements: int = 0
+    # Device-resident dataset cache (TPU-native). The train loop normally
+    # re-uploads every batch every epoch; over a tunnel-attached chip that
+    # host->device transfer dominates the epoch (measured round 5: 5.8 s/
+    # epoch wall vs ~0.9 s of step compute on the toy-v2 corpus, ~147 MB
+    # re-sent per epoch). When the whole train split fits in this many MB
+    # and every batch shares ONE static shape, the loop uploads the stacked
+    # batches to HBM once and runs each epoch as a single jitted lax.scan
+    # over on-device gathers (training/steps.py::make_epoch_runner) — only
+    # a ~100-byte batch-order array crosses the link per epoch. 0 disables
+    # (streaming path, reference-shaped: tf.data feeds the step each batch,
+    # reference train.py:269-286).
+    device_data_cache_mb: int = 0
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
     # reference saves every epoch (train.py:304-306); raise when epochs are

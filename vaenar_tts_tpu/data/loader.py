@@ -210,6 +210,22 @@ class BucketedLoader:
             np.random.default_rng(self.seed + epoch_index).shuffle(order)
         return groups, order[self.shard_index::self.shard_count]
 
+    def batch_order(self, epoch_index: int = 0) -> np.ndarray:
+        """This process's shuffled batch order for the epoch: indices into
+        the FIXED length-sorted batch groups. Group contents are epoch-
+        independent (only their order varies, matching the reference's
+        batch-level shuffle, tf_record_utils.py:139-140), which is what
+        makes a device-resident batch cache possible: ``all_batches()``
+        uploads the groups once and each epoch replays this order."""
+        _, order = self._epoch_order(epoch_index)
+        return order
+
+    def all_batches(self) -> List[Batch]:
+        """Every batch group in base (length-sorted) order; index i here is
+        what ``batch_order`` rows refer to."""
+        groups, _ = self._epoch_order(0)
+        return [self._make_batch(g) for g in groups]
+
     def epoch(self, epoch_index: int = 0,
               shape_schedule: Optional[np.ndarray] = None) -> Iterator[Batch]:
         """Iterate one epoch; batch ORDER is shuffled with seed+epoch

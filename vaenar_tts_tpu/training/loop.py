@@ -36,7 +36,8 @@ from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricsWriter
 from ..utils.prefetch import prefetch
 from ..utils.profiling import RetraceMonitor
-from .steps import (TrainState, init_model, make_dev_step, make_optimizer,
+from .steps import (TrainState, init_model, make_dev_step, make_epoch_runner,
+                    make_optimizer,
                     make_test_step, make_train_step, run_data_dependent_init)
 
 
@@ -191,6 +192,47 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
     retrace = RetraceMonitor(train_step=train_step, dev_step=dev_step,
                              test_step=test_step)
 
+    # -- device-resident dataset cache (TPU-native fast path) -----------------
+    # See TrainConfig.device_data_cache_mb: upload the fixed batch groups to
+    # HBM once and run each epoch as ONE jitted lax.scan dispatch
+    # (steps.py::make_epoch_runner) instead of re-sending every batch every
+    # epoch. Single-process only — the multi-process path interleaves
+    # per-step collectives and lockstep shape schedules.
+    epoch_runner = None
+    train_cache = dev_cache = None
+    cache_mb = float(getattr(hp.train, "device_data_cache_mb", 0) or 0)
+    if cache_mb > 0 and dist is None and len(train_loader) > 0:
+        census = train_loader.shape_census()
+        n_mels = train_loader.num_mels
+        per_utt = lambda t, m: t * 4 + m * n_mels * 4 + 8  # noqa: E731
+        total_mb = sum(cnt * hp.train.train_batch_size * per_utt(t, m)
+                       for (t, m), cnt in census.items()) / 1e6
+        if len(census) != 1:
+            print(f"device data cache OFF: {len(census)} static batch "
+                  f"shapes (the one-scan epoch needs exactly 1)")
+        elif total_mb > cache_mb:
+            print(f"device data cache OFF: train split ~{total_mb:.0f} MB > "
+                  f"device_data_cache_mb={cache_mb:.0f}")
+        else:
+            batches = train_loader.all_batches()
+            train_cache = (
+                jnp.asarray(np.stack([b.texts for b in batches])),
+                jnp.asarray(np.stack([b.mels for b in batches])),
+                jnp.asarray(np.stack([b.text_lengths for b in batches])),
+                jnp.asarray(np.stack([b.mel_lengths for b in batches])))
+            # dev is unshuffled (make_loaders), so its base order IS the
+            # epoch order; shapes may differ per batch, so keep a list
+            dev_cache = [
+                (jnp.asarray(b.texts), jnp.asarray(b.mels),
+                 jnp.asarray(b.text_lengths), jnp.asarray(b.mel_lengths),
+                 jnp.asarray((np.arange(b.texts.shape[0]) < b.n_valid)
+                             .astype(np.float32)), b.n_valid)
+                for b in dev_loader.all_batches()]
+            epoch_runner = make_epoch_runner(train_step)
+            print(f"device data cache ON: {len(batches)} train batches "
+                  f"(~{total_mb:.0f} MB) + {len(dev_cache)} dev batches "
+                  f"HBM-resident; each epoch is one lax.scan dispatch")
+
     # -- init or restore ------------------------------------------------------
     params, batch_stats = init_model(
         hp, model, hp.train.random_seed,
@@ -309,54 +351,73 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         epoch_start = time.time()
         sums_dev = None  # metric sums as DEVICE scalars: pulled once/epoch
         n_steps = 0
-        def to_device(batches):
-            # host->device copies enqueue from the prefetch thread, one batch
-            # ahead of compute (JAX dispatch is thread-safe + async). BOTH
-            # step caps terminate the generator here so the prefetch worker
-            # drains and exits instead of blocking on a full queue forever
-            for i, b in enumerate(batches):
-                if steps_cap is not None and i >= steps_cap:
-                    break  # lockstep across processes
-                if steps_per_epoch and i >= steps_per_epoch:
-                    break
-                if dist is not None:
-                    yield dist.global_batch(b.texts, b.mels, b.text_lengths,
-                                            b.mel_lengths)
-                else:
-                    yield (jnp.asarray(b.texts), jnp.asarray(b.mels),
-                           jnp.asarray(b.text_lengths),
-                           jnp.asarray(b.mel_lengths))
 
-        epoch_sched = _train_schedule(epoch)
-        for texts_d, mels_d, tlens_d, mlens_d in prefetch(
-                to_device(train_loader.epoch(epoch,
-                                             shape_schedule=epoch_sched))):
-            if stop_requested["flag"] and dist is None:
-                # single-process: stop NOW (preemption grace periods are
-                # short); the partial epoch is discarded and re-run on
-                # resume. Multi-process keeps epoch-boundary stopping: a
-                # process breaking mid-epoch would leave its peers hanging
-                # in the next step's collective.
+        if epoch_runner is not None:
+            # device-cache fast path: one dispatch for the whole epoch; only
+            # the batch-order indices cross the host->device link. Falls
+            # through to the shared epoch tail (pull, dev, ckpt, probe).
+            if stop_requested["flag"]:
                 interrupted_mid_epoch = True
-                break
-            rng, sub = jax.random.split(rng)
-            step_start = time.time()
-            p, bs, os_, m = train_step(
-                state.params, state.batch_stats, state.opt_state,
-                texts_d, mels_d, tlens_d, mlens_d,
-                _f32(kl_weight), _key(sub), reduction_factor=r)
-            state = TrainState(p, bs, os_, epoch=state.epoch)
-            n_steps += 1
-            if n_steps % log_every == 0 or n_steps == 1:
-                mh = {k: float(v) for k, v in m.items()}
-                print(f"  step {n_steps}: " + ", ".join(
-                    f"{k} {v:.6f}" for k, v in mh.items())
-                    + f", time {time.time() - step_start:.3f}s")
-            # accumulate ON DEVICE: a float(v) per step is a blocking
-            # device->host pull that serializes dispatch with compute
-            # (very slow over the tunnel); one pull per epoch suffices
-            sums_dev = (m if sums_dev is None else
-                        jax.tree_util.tree_map(jnp.add, sums_dev, m))
+            else:
+                order = train_loader.batch_order(epoch)
+                if steps_per_epoch:
+                    order = order[:steps_per_epoch]
+                p, bs, os_, rng, sums_dev = epoch_runner(
+                    state.params, state.batch_stats, state.opt_state,
+                    *train_cache, jnp.asarray(order, jnp.int32),
+                    _f32(kl_weight), rng, reduction_factor=r)
+                state = TrainState(p, bs, os_, epoch=state.epoch)
+                n_steps = len(order)
+        else:
+            def to_device(batches):
+                # host->device copies enqueue from the prefetch thread, one
+                # batch ahead of compute (JAX dispatch is thread-safe +
+                # async). BOTH step caps terminate the generator here so the
+                # prefetch worker drains and exits instead of blocking on a
+                # full queue forever
+                for i, b in enumerate(batches):
+                    if steps_cap is not None and i >= steps_cap:
+                        break  # lockstep across processes
+                    if steps_per_epoch and i >= steps_per_epoch:
+                        break
+                    if dist is not None:
+                        yield dist.global_batch(b.texts, b.mels,
+                                                b.text_lengths, b.mel_lengths)
+                    else:
+                        yield (jnp.asarray(b.texts), jnp.asarray(b.mels),
+                               jnp.asarray(b.text_lengths),
+                               jnp.asarray(b.mel_lengths))
+
+            epoch_sched = _train_schedule(epoch)
+            for texts_d, mels_d, tlens_d, mlens_d in prefetch(
+                    to_device(train_loader.epoch(epoch,
+                                                 shape_schedule=epoch_sched))):
+                if stop_requested["flag"] and dist is None:
+                    # single-process: stop NOW (preemption grace periods are
+                    # short); the partial epoch is discarded and re-run on
+                    # resume. Multi-process keeps epoch-boundary stopping: a
+                    # process breaking mid-epoch would leave its peers
+                    # hanging in the next step's collective.
+                    interrupted_mid_epoch = True
+                    break
+                rng, sub = jax.random.split(rng)
+                step_start = time.time()
+                p, bs, os_, m = train_step(
+                    state.params, state.batch_stats, state.opt_state,
+                    texts_d, mels_d, tlens_d, mlens_d,
+                    _f32(kl_weight), _key(sub), reduction_factor=r)
+                state = TrainState(p, bs, os_, epoch=state.epoch)
+                n_steps += 1
+                if n_steps % log_every == 0 or n_steps == 1:
+                    mh = {k: float(v) for k, v in m.items()}
+                    print(f"  step {n_steps}: " + ", ".join(
+                        f"{k} {v:.6f}" for k, v in mh.items())
+                        + f", time {time.time() - step_start:.3f}s")
+                # accumulate ON DEVICE: a float(v) per step is a blocking
+                # device->host pull that serializes dispatch with compute
+                # (very slow over the tunnel); one pull per epoch suffices
+                sums_dev = (m if sums_dev is None else
+                            jax.tree_util.tree_map(jnp.add, sums_dev, m))
         if interrupted_mid_epoch:
             if last_saved_epoch != state.epoch:
                 _ckpt_save(state.epoch, state, wait=True)
@@ -376,7 +437,19 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
         # much as a full one (the reference averages batch means equally).
         dev_sums: Dict[str, float] = {}
         n_dev_utts = 0
-        if dist is None:
+        if dev_cache is not None:
+            # device-resident dev batches (dev is unshuffled, so base order
+            # IS the epoch order); identical math to the streaming branch
+            for texts_d, mels_d, tlens_d, mlens_d, vmask_d, n_valid \
+                    in dev_cache:
+                rng, sub = jax.random.split(rng)
+                m = dev_step(state.params, state.batch_stats, texts_d,
+                             mels_d, tlens_d, mlens_d, jnp.float32(kl_weight),
+                             vmask_d, sub, reduction_factor=r)
+                for k, v in m.items():
+                    dev_sums[k] = dev_sums.get(k, 0.0) + float(v) * n_valid
+                n_dev_utts += n_valid
+        elif dist is None:
             for batch in dev_loader.epoch(epoch):
                 rng, sub = jax.random.split(rng)
                 vmask = (np.arange(batch.texts.shape[0]) < batch.n_valid

@@ -173,6 +173,47 @@ def make_train_step(hp: HParams, model: VAENAR,
     return train_step
 
 
+def make_epoch_runner(train_step: Callable) -> Callable:
+    """Whole-epoch executor over a DEVICE-RESIDENT batch cache.
+
+    The streaming loop dispatches one ``train_step`` per batch and re-uploads
+    the batch data every epoch; over a tunnel-attached chip that transfer
+    dominates (measured round 5: 5.8 s/epoch wall vs ~0.9 s step compute).
+    This wraps the SAME jitted ``train_step`` (inlined math, identical
+    metrics/optimizer semantics) in one jitted ``lax.scan`` over the cached
+    stacked batches: per epoch only the [n_steps] batch-order array crosses
+    the link, and the device runs steps back to back.
+
+    Returns jitted fn(params, batch_stats, opt_state, texts_all, mels_all,
+    tlens_all, mlens_all, order, kl_weight, rng, reduction_factor) ->
+    (params, batch_stats, opt_state, rng_out, metric_sums); the per-step RNG
+    split sequence matches the streaming loop exactly (split off the epoch
+    key in iteration order) so both paths train the same trajectory, and
+    ``rng_out`` continues that stream for the dev eval that follows.
+    """
+
+    @partial(jax.jit, static_argnames=("reduction_factor",),
+             donate_argnums=(0, 1, 2))
+    def run_epoch(params, batch_stats, opt_state, texts_all, mels_all,
+                  tlens_all, mlens_all, order, kl_weight, rng,
+                  reduction_factor: int = 2):
+        def body(carry, gi):
+            p, bs, os_, k = carry
+            k, sub = jax.random.split(k)
+            p, bs, os_, m = train_step(
+                p, bs, os_, texts_all[gi], mels_all[gi], tlens_all[gi],
+                mlens_all[gi], kl_weight, sub,
+                reduction_factor=reduction_factor)
+            return (p, bs, os_, k), m
+
+        (params, batch_stats, opt_state, rng), ms = jax.lax.scan(
+            body, (params, batch_stats, opt_state, rng), order)
+        sums = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), ms)
+        return params, batch_stats, opt_state, rng, sums
+
+    return run_epoch
+
+
 def make_dev_step(hp: HParams, model: VAENAR) -> Callable:
     """Eval step with per-example losses masked by n_valid (repeat-padded
     batches contribute nothing), matching reference dev loss semantics
