@@ -50,12 +50,12 @@ def records(tmp_path_factory):
     return str(root / "records")
 
 
-def _hp(cache_mb=0):
+def _hp(cache_mb=0, scan=False):
     hp = tiny_test_config()
     return hp.replace(train=dataclasses.replace(
         hp.train, train_batch_size=4, test_batch_size=2,
         test_interval=1000, checkpoint_every_n_epochs=2,
-        device_data_cache_mb=cache_mb))
+        device_data_cache_mb=cache_mb, device_cache_epoch_scan=scan))
 
 
 def _leaves(params):
@@ -63,17 +63,23 @@ def _leaves(params):
     return jax.tree_util.tree_leaves(params)
 
 
-def test_cached_epoch_matches_streaming(records, tmp_path, capsys):
-    """Same data, same seeds: the one-scan epoch must train the same
-    trajectory as the per-batch streaming loop."""
+@pytest.mark.parametrize("scan", [False, True],
+                         ids=["gather_dispatch", "epoch_scan"])
+def test_cached_epoch_matches_streaming(records, tmp_path, capsys, scan):
+    """Same data, same seeds: both cache modes (per-step dispatch over
+    device gathers, and the one-scan epoch) must train the same trajectory
+    as the per-batch streaming loop."""
     from vaenar_tts_tpu.training.loop import train
 
     s_state = train(_hp(0), records, str(tmp_path / "ckpt_stream"),
                     str(tmp_path / "logs_s"), test_dir=None, max_epochs=3)
-    c_state = train(_hp(64), records, str(tmp_path / "ckpt_cached"),
+    c_state = train(_hp(64, scan=scan), records,
+                    str(tmp_path / "ckpt_cached"),
                     str(tmp_path / "logs_c"), test_dir=None, max_epochs=3)
     out = capsys.readouterr().out
     assert "device data cache ON" in out
+    assert (("lax.scan" in out) if scan
+            else ("device gathers" in out))
 
     sl, cl = _leaves(s_state.params), _leaves(c_state.params)
     assert len(sl) == len(cl)

@@ -100,6 +100,16 @@ class TrainConfig:
     # (streaming path, reference-shaped: tf.data feeds the step each batch,
     # reference train.py:269-286).
     device_data_cache_mb: int = 0
+    # With the cache on: run the whole epoch as ONE jitted lax.scan dispatch
+    # (true single-RPC epochs) instead of dispatching the per-batch
+    # train_step over on-device gathers. The scan program compiles fine
+    # locally (CPU A/B: 68 s vs 53 s for the bare step) but its REMOTE
+    # compile on the tunnel-attached chip never completed in 2x20 min
+    # (round 5), so per-step dispatch over cached batches is the default —
+    # it keeps the transfer win (only index scalars cross the link) and
+    # reuses the already-proven step program. Flip on direct-attached
+    # hardware where the compiler service is local.
+    device_cache_epoch_scan: bool = False
     checkpoint_max_to_keep: int = 20
     checkpoint_keep_every_n_hours: float = 4.0
     # reference saves every epoch (train.py:304-306); raise when epochs are

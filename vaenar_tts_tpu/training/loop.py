@@ -228,10 +228,19 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                  jnp.asarray((np.arange(b.texts.shape[0]) < b.n_valid)
                              .astype(np.float32)), b.n_valid)
                 for b in dev_loader.all_batches()]
-            epoch_runner = make_epoch_runner(train_step)
+            if bool(getattr(hp.train, "device_cache_epoch_scan", False)):
+                epoch_runner = make_epoch_runner(train_step)
+                mode = "one lax.scan dispatch per epoch"
+            else:
+                # per-step dispatch over on-device gathers: same proven
+                # step program, zero batch re-upload (only index scalars
+                # cross the link). See device_cache_epoch_scan.
+                take_batch = jax.jit(lambda cache, i: jax.tree_util.tree_map(
+                    lambda x: x[i], cache))
+                mode = "per-step dispatch over device gathers"
             print(f"device data cache ON: {len(batches)} train batches "
                   f"(~{total_mb:.0f} MB) + {len(dev_cache)} dev batches "
-                  f"HBM-resident; each epoch is one lax.scan dispatch")
+                  f"HBM-resident; {mode}")
 
     # -- init or restore ------------------------------------------------------
     params, batch_stats = init_model(
@@ -388,10 +397,21 @@ def train(hp: HParams, data_dir: str, model_dir: str, log_dir: str,
                                jnp.asarray(b.text_lengths),
                                jnp.asarray(b.mel_lengths))
 
-            epoch_sched = _train_schedule(epoch)
-            for texts_d, mels_d, tlens_d, mlens_d in prefetch(
+            if train_cache is not None:
+                # device-cache gather mode: feed the SAME step loop from
+                # HBM-resident batches; gathers dispatch asynchronously so
+                # no prefetch thread is needed
+                order = train_loader.batch_order(epoch)
+                if steps_per_epoch:
+                    order = order[:steps_per_epoch]
+                batch_iter = (take_batch(train_cache, np.int32(gi))
+                              for gi in order)
+            else:
+                epoch_sched = _train_schedule(epoch)
+                batch_iter = prefetch(
                     to_device(train_loader.epoch(epoch,
-                                                 shape_schedule=epoch_sched))):
+                                                 shape_schedule=epoch_sched)))
+            for texts_d, mels_d, tlens_d, mlens_d in batch_iter:
                 if stop_requested["flag"] and dist is None:
                     # single-process: stop NOW (preemption grace periods are
                     # short); the partial epoch is discarded and re-run on
