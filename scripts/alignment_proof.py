@@ -63,7 +63,8 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
                  kl_init: float | None = None,
                  kl_anneal_epochs: int | None = None,
                  stages_epochs: int | None = None,
-                 quantile: float = 0.0):
+                 quantile: float = 0.0,
+                 device_cache_mb: int = 512):
     """The SHIPPED LJ architecture/loss by default.
 
     ``latent_dim`` / ``kl_weight`` override the preset only for ablations
@@ -95,11 +96,10 @@ def build_config(stats: dict, epochs: int, tiny: bool = False,
         hp.train, epochs=epochs, test_interval=max(epochs // 4, 1),
         reduce_interval=(0, stage, 2 * stage, 3 * stage),
         checkpoint_every_n_epochs=50,
-        # the toy corpus (~150 MB stacked) lives in HBM for the whole run:
-        # one lax.scan dispatch per epoch instead of re-uploading every
-        # batch over the tunnel (measured 5.8 s/epoch -> transfer-free;
-        # TrainConfig.device_data_cache_mb)
-        device_data_cache_mb=512)
+        # the toy corpus (~150 MB stacked) lives in HBM for the whole run
+        # instead of re-uploading every batch over the tunnel (measured
+        # 5.8 s/epoch; TrainConfig.device_data_cache_mb). 0 = streaming.
+        device_data_cache_mb=device_cache_mb)
     if kl_weight is not None:
         tr = dataclasses.replace(tr, kl_weight_init=kl_weight,
                                  kl_weight_end=kl_weight)
@@ -210,6 +210,10 @@ def main() -> int:
                          "architecture). 0.9 gives --length_source quantile "
                          "a learned p90 to read at inference "
                          "(PARITY.md deviation 14)")
+    ap.add_argument("--device_cache_mb", type=int, default=512,
+                    help="HBM budget for the device-resident dataset cache "
+                         "(TrainConfig.device_data_cache_mb); 0 = streaming "
+                         "per-batch upload (the pre-round-5 behavior)")
     ap.add_argument("--stages_epochs", type=int, default=None,
                     help="pin the r-curriculum stage boundaries to this "
                          "earlier total (continuation runs: --epochs 2400 "
@@ -315,7 +319,8 @@ def main() -> int:
                       kl_init=args.kl_init,
                       kl_anneal_epochs=args.kl_anneal_epochs,
                       stages_epochs=args.stages_epochs,
-                      quantile=args.quantile)
+                      quantile=args.quantile,
+                      device_cache_mb=args.device_cache_mb)
     if args.train_seed is not None:
         import dataclasses as _dc
         hp = hp.replace(train=_dc.replace(hp.train,
