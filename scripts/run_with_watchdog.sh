@@ -24,19 +24,32 @@
 # (measured, CLAUDE.md), and training epochs between compiles always burn
 # host CPU on dispatch.
 #
-# Usage:  run_with_watchdog.sh [-d DEADLINE_EPOCH_S] [-l LABEL] -- cmd args...
+# Round-5 addition: -p PROGRESS_DIR. A client stalled on a wedged tunnel
+# can TRICKLE CPU (~4 s/900 s measured while blocked on a remote compile
+# that never returned), evading the CPU check. With -p, the watchdog also
+# tracks the newest file mtime under PROGRESS_DIR (e.g. the checkpoint
+# dir, which gains files every 50 epochs ≈ 2-5 min when healthy); no new
+# mtime for PROGRESS_TIMEOUT_S ⇒ wedge kill (142). The window must exceed
+# the longest legitimate no-save stretch: a 2-6 min remote compile at each
+# curriculum-stage boundary plus a checkpoint interval.
+#
+# Usage:  run_with_watchdog.sh [-d DEADLINE_EPOCH_S] [-l LABEL]
+#             [-p PROGRESS_DIR] -- cmd args...
 # Env:    WEDGE_WINDOW_S=900  WEDGE_MIN_CPU_CS=200  WATCH_POLL_S=30
+#         PROGRESS_TIMEOUT_S=1200
 #         CAP_KB=104857600 (100 GB; 0 disables)  TERM_GRACE_S=120
 # Exit:   the child's exit code; 142 = wedge kill; 143 = deadline kill.
 set -u
 
 DEADLINE=0
 LABEL=watchdog
-while getopts "d:l:" opt; do
+PROGRESS_DIR=""
+while getopts "d:l:p:" opt; do
   case "$opt" in
     d) DEADLINE=$OPTARG ;;
     l) LABEL=$OPTARG ;;
-    *) echo "usage: $0 [-d deadline_epoch_s] [-l label] -- cmd..." >&2; exit 2 ;;
+    p) PROGRESS_DIR=$OPTARG ;;
+    *) echo "usage: $0 [-d deadline_epoch_s] [-l label] [-p progress_dir] -- cmd..." >&2; exit 2 ;;
   esac
 done
 shift $((OPTIND - 1))
@@ -44,7 +57,7 @@ shift $((OPTIND - 1))
 [ $# -ge 1 ] || { echo "$0: no command given" >&2; exit 2; }
 
 : "${WEDGE_WINDOW_S:=900}" "${WEDGE_MIN_CPU_CS:=200}" "${WATCH_POLL_S:=30}"
-: "${CAP_KB:=104857600}" "${TERM_GRACE_S:=120}"
+: "${CAP_KB:=104857600}" "${TERM_GRACE_S:=120}" "${PROGRESS_TIMEOUT_S:=1200}"
 
 note() { echo "[$LABEL $(date -u +%H:%M:%S)] $*" >&2; }
 
@@ -66,8 +79,16 @@ fi
 PID=$!
 note "started pid $PID: $*"
 
+# newest file mtime (integer epoch s) under PROGRESS_DIR; empty if none
+prog_mtime() {
+  find "$PROGRESS_DIR" -type f -printf '%T@\n' 2>/dev/null \
+    | sort -n | tail -1 | cut -d. -f1
+}
+
 anchor_cpu=$(cpu_cs "$PID"); anchor_cpu=${anchor_cpu:-0}
 anchor_ts=$(date +%s)
+prog_anchor_m=""; prog_anchor_ts=$anchor_ts
+[ -n "$PROGRESS_DIR" ] && prog_anchor_m=$(prog_mtime)
 termed=0
 
 while kill -0 "$PID" 2>/dev/null; do
@@ -82,6 +103,17 @@ while kill -0 "$PID" 2>/dev/null; do
     kill -KILL "$PID" 2>/dev/null
     wait "$PID" 2>/dev/null
     exit 142
+  fi
+  if [ -n "$PROGRESS_DIR" ] && [ "$termed" = 0 ]; then
+    m=$(prog_mtime)
+    if [ -n "$m" ] && [ "$m" != "$prog_anchor_m" ]; then
+      prog_anchor_m=$m; prog_anchor_ts=$now
+    elif [ $((now - prog_anchor_ts)) -ge "$PROGRESS_TIMEOUT_S" ]; then
+      note "WEDGE: no new file under $PROGRESS_DIR for $((now - prog_anchor_ts))s; killing $PID"
+      kill -KILL "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null
+      exit 142
+    fi
   fi
   if [ "$DEADLINE" -gt 0 ] && [ "$now" -ge "$DEADLINE" ] && [ "$termed" = 0 ]; then
     note "deadline: SIGTERM $PID (checkpoint-and-exit), grace ${TERM_GRACE_S}s"

@@ -27,11 +27,13 @@ SCRIPT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "scripts", "run_with_watchdog.sh")
 
 
-def run_watchdog(cmd, env_extra, deadline=0, timeout=120):
+def run_watchdog(cmd, env_extra, deadline=0, timeout=120, progress_dir=None):
     env = dict(os.environ, **env_extra)
     args = ["bash", SCRIPT]
     if deadline:
         args += ["-d", str(deadline)]
+    if progress_dir:
+        args += ["-p", str(progress_dir)]
     args += ["--"] + cmd
     return subprocess.run(args, env=env, capture_output=True, text=True,
                           timeout=timeout)
@@ -93,6 +95,47 @@ def test_sigstopped_child_is_wedge_killed(tmp_path):
             pass
     assert rc == 142
     assert "WEDGE" in proc.stderr.read()
+
+
+def test_progress_stall_is_wedge_killed(tmp_path):
+    """Round-5 wedge mode: a client blocked on a dead tunnel TRICKLES CPU
+    (~4 s/900 s measured), evading the CPU check — but it stops producing
+    checkpoints. With -p, a stalled progress dir is wedge-killed even
+    though the child stays above the CPU threshold."""
+    pdir = tmp_path / "ckpt"
+    pdir.mkdir()
+    (pdir / "0").write_text("x")
+    # burn CPU the whole time (always above WEDGE_MIN_CPU_CS) but never
+    # write to the progress dir
+    code = ("import time\n"
+            "t = time.time()\n"
+            "while time.time() - t < 60: pass\n")
+    t0 = time.time()
+    r = run_watchdog([sys.executable, "-c", code],
+                     dict(FAST, PROGRESS_TIMEOUT_S="4"), progress_dir=pdir)
+    assert r.returncode == 142, (r.returncode, r.stderr)
+    assert "no new file" in r.stderr
+    assert time.time() - t0 < 30
+
+
+def test_progressing_child_survives(tmp_path):
+    """A child that keeps writing new checkpoint files is left alone for
+    the full run even with a short progress timeout."""
+    pdir = tmp_path / "ckpt"
+    pdir.mkdir()
+    code = ("import sys, time\n"
+            "t = time.time(); i = 0\n"
+            "while time.time() - t < 8:\n"  # busy (passes the CPU check)
+            "    open(sys.argv[1] + '/' + str(i), 'w').write('x')\n"
+            "    i += 1\n"
+            "    s = time.time()\n"
+            "    while time.time() - s < 1: pass\n"
+            "print('finished')")
+    r = run_watchdog([sys.executable, "-c", code, str(pdir)],
+                     dict(FAST, PROGRESS_TIMEOUT_S="4"), progress_dir=pdir)
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert "finished" in r.stdout
+    assert "WEDGE" not in r.stderr
 
 
 def test_deadline_term_then_exit():
