@@ -26,7 +26,7 @@ read -r WD EPOCH BESTLER <<EOF
 $(python - <<'PY'
 import glob, json, os
 best = None
-for side in glob.glob("artifacts/toyv2_s*/export_best.json"):
+for side in glob.glob("artifacts/toyv2_*/export_best.json"):
     d = json.load(open(side))
     if best is None or d["probe_ler"] < best[2]:
         best = (os.path.dirname(side), d["epoch"], d["probe_ler"])
