@@ -56,6 +56,7 @@ EV                                     # takes-1 mean baseline (gate texts)
 EV --takes 4                           # round-4 headline knob (coverage)
 EV --takes 4 --take_score medoid       # item 3: content-aware selection
 EV --takes 8 --take_score medoid       # item 3: does the takes-8 regression vanish?
+EV --takes 16 --take_score medoid      # selection power if medoid truly ranks
 EV --takes 4 --take_score medoid --seed 9191 --out_name heldout9191_takes4_medoid
 EV --length_source quantile            # renders for the truncation A/B
 
