@@ -27,7 +27,7 @@ from vaenar_tts_tpu.training.steps import (init_model, make_optimizer,
                                            make_train_step)
 
 
-def measure(hp, B, TT, TM, R, lo=4, hi=30, reps=3):
+def measure(hp, B, TT, TM, R, lo=4, hi=30, reps=3, copts=None):
     model = VAENAR(hp)
     params, bs = init_model(hp, model, 0, TT, TM)
     optimizer = make_optimizer(hp)
@@ -42,13 +42,27 @@ def measure(hp, B, TT, TM, R, lo=4, hi=30, reps=3):
     k = jax.random.key(0)
     state = [params, bs, opt_state]
 
+    if copts:
+        # XLA_FLAGS can't reach the remote compiler here (the tunnel
+        # client's host-side parser rejects TPU flags as unknown, fatally);
+        # PJRT compiler_options on an AOT compile are forwarded instead
+        lowered = step.lower(*state, texts, mels, tl, ml, jnp.float32(1e-5),
+                             k, reduction_factor=R)
+        compiled = lowered.compile(compiler_options=copts)
+
+        def call(i):
+            return compiled(*state, texts, mels, tl, ml, jnp.float32(1e-5),
+                            jax.random.fold_in(k, i))
+    else:
+        def call(i):
+            return step(*state, texts, mels, tl, ml, jnp.float32(1e-5),
+                        jax.random.fold_in(k, i), reduction_factor=R)
+
     def run(n):
         t0 = time.perf_counter()
         m = None
         for i in range(n):
-            state[0], state[1], state[2], m = step(
-                *state, texts, mels, tl, ml, jnp.float32(1e-5),
-                jax.random.fold_in(k, i), reduction_factor=R)
+            state[0], state[1], state[2], m = call(i)
         float(m["total"])  # pull: forces the whole chained-state execution
         return time.perf_counter() - t0
 
@@ -85,6 +99,11 @@ def main():
                          "the default) vs per-layer inv/slogdet custom "
                          "calls (off) — suspect for the r4 29.5->34 ms "
                          "bench train-step regression")
+    ap.add_argument("--compiler_options", default=None,
+                    help="comma list k=v forwarded as PJRT compiler options "
+                         "on an AOT compile (the XLA_FLAGS env route dies "
+                         "in this client's host-side flag parser), e.g. "
+                         "xla_tpu_enable_latency_hiding_scheduler=true")
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="micro-batch the step (hp.train.grad_accum): "
                          "batch/N per micro-step, averaged grads, one Adam "
@@ -108,8 +127,13 @@ def main():
     for name in args.modes:
         hp = base.replace(train=dataclasses.replace(
             base.train, use_pallas_attention=knob_of[name]))
+        copts = None
+        if args.compiler_options:
+            copts = dict(kv.split("=", 1)
+                         for kv in args.compiler_options.split(","))
         dt = measure(hp, args.batch, args.text, args.mel, args.reduction,
-                     lo=args.chain[0], hi=args.chain[1], reps=args.reps)
+                     lo=args.chain[0], hi=args.chain[1], reps=args.reps,
+                     copts=copts)
         acc = f", accum {args.grad_accum}" if args.grad_accum != 1 else ""
         print(f"{name:8s} {dt * 1e3:8.1f} ms/step  "
               f"{args.batch / dt:,.1f} utt/s  (batch {args.batch} "
